@@ -1,0 +1,122 @@
+"""Parquet codec: the reference's on-disk DAG schema <-> dense numpy tensors.
+
+The reference serializes a topologically-sorted labeled DAG as ``l{i}``
+(uint16 label) and ``e{i}`` (length-``i`` '0'/'1' bitstring of in-edges from
+slots ``< i``) columns (``src/toolkit/labeled.py:116-185``).  This module
+reads/writes that exact schema so existing corpora round-trip, but decodes
+straight into ``(labels: int32[B, N], adj: float32[B, N, N])`` batches with
+vectorized numpy — no per-graph Python objects (the reference's per-row
+igraph construction, ``src/datasets.py:8-27``, is the load-time bottleneck
+this removes).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def pyarrow_schema(num_vertices: int) -> pa.Schema:
+    """The reference-compatible schema (``src/toolkit/labeled.py:116-130``)."""
+    label_fields = [
+        pa.field(f"l{i}", pa.uint16(), nullable=False) for i in range(num_vertices)
+    ]
+    edge_fields = [
+        pa.field(f"e{i}", pa.string(), nullable=False) for i in range(num_vertices)
+    ]
+    return pa.schema(label_fields + edge_fields)
+
+
+def table_to_tensors(table: pa.Table) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode a pyarrow table of l/e columns to (labels[B,N], adj[B,N,N])."""
+    label_cols = sorted(
+        (c for c in table.column_names if c.startswith("l") and c[1:].isdigit()),
+        key=lambda c: int(c[1:]),
+    )
+    n = len(label_cols)
+    rows = table.num_rows
+
+    labels = np.stack(
+        [table.column(c).to_numpy().astype(np.int32) for c in label_cols], axis=1
+    )
+
+    adj = np.zeros((rows, n, n), dtype=np.float32)
+    for i in range(1, n):
+        col = table.column(f"e{i}")
+        # Join all row bitstrings for this vertex into one byte buffer and
+        # reshape: every row contributes exactly i characters.
+        joined = "".join(col.to_pylist())
+        bits = np.frombuffer(joined.encode("ascii"), dtype=np.uint8).reshape(rows, i)
+        adj[:, :i, i] = bits - ord("0")
+
+    return labels, adj
+
+
+def tensors_to_table(labels: np.ndarray, adj: np.ndarray) -> pa.Table:
+    """Encode (labels[B,N], adj[B,N,N]) into the reference l/e schema."""
+    rows, n = labels.shape
+    arrays = {}
+    for i in range(n):
+        arrays[f"l{i}"] = pa.array(labels[:, i].astype(np.uint16), type=pa.uint16())
+    zero = ord("0")
+    for i in range(n):
+        if i == 0:
+            strings = [""] * rows
+        else:
+            bits = (adj[:, :i, i] > 0).astype(np.uint8) + zero
+            buf = bits.astype(np.uint8).tobytes()
+            strings = [
+                buf[r * i : (r + 1) * i].decode("ascii") for r in range(rows)
+            ]
+        arrays[f"e{i}"] = pa.array(strings, type=pa.string())
+    names = [f"l{i}" for i in range(n)] + [f"e{i}" for i in range(n)]
+    return pa.table({k: arrays[k] for k in names}).cast(pyarrow_schema(n))
+
+
+def read_dataset(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Read a parquet dataset dir/file into (labels, adj) tensors."""
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and os.path.getsize(os.path.join(path, f)) > 0
+        )
+        tables = [pq.read_table(p) for p in parts]
+        table = pa.concat_tables(tables, promote_options="default") if len(tables) > 1 else tables[0]
+    else:
+        table = pq.read_table(path)
+    return table_to_tensors(table)
+
+
+def write_dataset(
+    path: str,
+    labels: np.ndarray,
+    adj: np.ndarray,
+    rows_per_part: int = 200_000,
+) -> None:
+    """Write (labels, adj) as a reference-schema parquet dataset directory."""
+    os.makedirs(path, exist_ok=True)
+    rows = labels.shape[0]
+    part = 0
+    for start in range(0, rows, rows_per_part):
+        stop = min(start + rows_per_part, rows)
+        table = tensors_to_table(labels[start:stop], adj[start:stop])
+        pq.write_table(table, os.path.join(path, f"part-{part:05d}.parquet"))
+        part += 1
+
+
+def iter_batches(
+    path: str, batch_size: int
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Stream fixed-size (labels, adj) batches from a parquet dataset.
+
+    Row-group streaming analogue of ``bn_parquet_iterator``
+    (``src/parquet_utils.py:33-49``) but yielding dense batches.
+    """
+    labels, adj = read_dataset(path)
+    for start in range(0, labels.shape[0] - batch_size + 1, batch_size):
+        yield labels[start : start + batch_size], adj[start : start + batch_size]

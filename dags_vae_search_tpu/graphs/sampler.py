@@ -1,0 +1,236 @@
+"""Random labeled-DAG corpus generation (Erdős–Rényi with fixed edge count).
+
+TPU-native redesign of the reference generator
+(``src/toolkit/labeled.py:281-333`` + ``src/encoders/utils.py:18-93``): an
+undirected ER graph with exactly ``m`` edges, oriented acyclically from lower
+to higher vertex slot (so the slot order is a topological order by
+construction), rejected unless weakly connected, with labels drawn without
+replacement ("sample") or with replacement ("choice").
+
+Two implementations:
+
+- :func:`sample_er_batch` — vectorized host numpy, the ETL path that replaces
+  the reference's one-igraph-at-a-time loop;
+- :func:`sample_er_dags` — pure jax, vmapped and jit-able, for on-device
+  corpus generation inside search loops.
+
+The curriculum over edge counts (``encoder_dag_train_schema``,
+``src/encoders/utils.py:18-57``) is reproduced by :func:`edge_count_schedule`.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dags_vae_search_tpu.graphs.dag import is_weakly_connected
+
+
+def edge_count_schedule(
+    num_vertices: int, density_limit: float, steps_limit: int
+) -> List[Tuple[int, int]]:
+    """(edge_count, num_batches) curriculum, parity with the reference.
+
+    Edge counts are ``steps_limit`` linspace points from ``n - 1`` (weak
+    connectivity minimum) to ``density_limit * n(n-1)/2``, deduplicated; the
+    i-th unique step gets ``(i + 1)**2`` batches
+    (``src/encoders/utils.py:36-51``).
+    """
+    if num_vertices < 1:
+        raise ValueError("num_vertices must be at least 1")
+    if not (0 < density_limit <= 1):
+        raise ValueError("density_limit must be in (0, 1]")
+    if steps_limit < 1:
+        raise ValueError("steps_limit must be at least 1")
+
+    min_edges = num_vertices - 1
+    max_edges = (num_vertices * (num_vertices - 1)) // 2
+    max_edges_density = int(max_edges * density_limit)
+    if max_edges_density < min_edges:
+        raise ValueError("density_limit too small for connectivity minimum")
+
+    linspace = list(map(int, np.linspace(min_edges, max_edges_density, steps_limit)))
+    unique_edges = sorted(set(linspace))
+    return [(edges, (i + 1) ** 2) for i, edges in enumerate(unique_edges)]
+
+
+def _pair_indices(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Row/col indices of the strictly-upper-triangular pairs, i < j."""
+    rows, cols = np.triu_indices(n, k=1)
+    return rows.astype(np.int32), cols.astype(np.int32)
+
+
+def _connected_mask_np(adj: np.ndarray) -> np.ndarray:
+    """Weak connectivity per graph for a [G, N, N] numpy batch."""
+    n = adj.shape[-1]
+    sym = np.clip(adj + np.swapaxes(adj, -1, -2) + np.eye(n, dtype=adj.dtype), 0, 1)
+    closure = sym
+    steps = max(int(np.ceil(np.log2(max(n, 2)))), 1)
+    for _ in range(steps):
+        closure = np.clip(closure @ closure, 0, 1)
+    return np.all(closure[:, 0, :] > 0, axis=-1)
+
+
+def sample_labels_np(
+    rng: np.random.Generator,
+    num_graphs: int,
+    num_vertices: int,
+    label_cardinality: int,
+    method: str = "sample",
+) -> np.ndarray:
+    """Random labels: 'sample' = without replacement, 'choice' = with."""
+    if method == "sample":
+        if label_cardinality == 1:
+            return np.zeros((num_graphs, num_vertices), dtype=np.int32)
+        if label_cardinality < num_vertices:
+            raise ValueError(
+                "'sample' needs label_cardinality >= num_vertices "
+                f"({label_cardinality} < {num_vertices})"
+            )
+        keys = rng.random((num_graphs, label_cardinality))
+        perm = np.argsort(keys, axis=1)
+        return perm[:, :num_vertices].astype(np.int32)
+    if method == "choice":
+        return rng.integers(
+            0, label_cardinality, size=(num_graphs, num_vertices), dtype=np.int32
+        )
+    raise ValueError("method must be 'sample' or 'choice'")
+
+
+def sample_er_batch(
+    rng: np.random.Generator,
+    num_graphs: int,
+    num_vertices: int,
+    num_edges: int,
+    label_cardinality: int,
+    label_method: str = "sample",
+    require_connected: bool = True,
+    max_rounds: int = 100,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side batch ER-DAG sampler -> (labels[G,N], adj[G,N,N])."""
+    n = num_vertices
+    if num_edges < n - 1:
+        raise ValueError(
+            f"Expected at least {n - 1} edges (connectivity condition), got {num_edges}"
+        )
+    rows, cols = _pair_indices(n)
+    num_pairs = rows.shape[0]
+    if num_edges > num_pairs:
+        raise ValueError(f"num_edges {num_edges} exceeds max {num_pairs}")
+
+    out_adj = np.zeros((num_graphs, n, n), dtype=np.float32)
+    need = np.ones(num_graphs, dtype=bool)
+    for _ in range(max_rounds):
+        g = int(need.sum())
+        if g == 0:
+            break
+        # Random m-subset of pairs per graph via top-m of uniform keys.
+        keys = rng.random((g, num_pairs))
+        chosen = np.argpartition(keys, num_edges - 1, axis=1)[:, :num_edges]
+        adj = np.zeros((g, n, n), dtype=np.float32)
+        gi = np.repeat(np.arange(g), num_edges)
+        adj[gi, rows[chosen].ravel(), cols[chosen].ravel()] = 1.0
+        ok = _connected_mask_np(adj) if require_connected else np.ones(g, dtype=bool)
+        idx = np.flatnonzero(need)
+        accepted = idx[ok]
+        out_adj[accepted] = adj[ok]
+        need[accepted] = False
+    if need.any():
+        raise RuntimeError("max_rounds exceeded with no connected DAG generated")
+
+    labels = sample_labels_np(rng, num_graphs, n, label_cardinality, label_method)
+    return labels, out_adj
+
+
+def generate_corpus(
+    rng: np.random.Generator,
+    num_vertices: int,
+    label_cardinality: int,
+    batch_size: int,
+    steps_limit: int,
+    density_limit: float,
+    label_method: str = "sample",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Full curriculum corpus, reference ``create_encoder_dataset`` parity.
+
+    For each (edge_count, num_batches) schedule entry generates
+    ``num_batches * batch_size`` connected random DAGs
+    (``src/encoders/utils.py:96-202``) — vectorized, no tmp-parquet staging.
+    """
+    schedule = edge_count_schedule(num_vertices, density_limit, steps_limit)
+    all_labels, all_adj = [], []
+    for edge_count, num_batches in schedule:
+        labels, adj = sample_er_batch(
+            rng,
+            num_batches * batch_size,
+            num_vertices,
+            edge_count,
+            label_cardinality,
+            label_method,
+        )
+        all_labels.append(labels)
+        all_adj.append(adj)
+    return np.concatenate(all_labels), np.concatenate(all_adj)
+
+
+def sample_er_dags(
+    key: jax.Array,
+    num_graphs: int,
+    num_vertices: int,
+    num_edges: int,
+    label_cardinality: int,
+    label_method: str = "sample",
+    require_connected: bool = True,
+    num_attempts: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """On-device batched ER-DAG sampler (jit-able, fixed shapes).
+
+    Draws ``num_attempts`` independent candidate edge sets per slot and keeps
+    the first weakly-connected one (rejection with a static retry budget —
+    the jit-safe analogue of the reference's ``try_limit`` loop,
+    ``src/toolkit/labeled.py:298-333``).
+    """
+    n = num_vertices
+    rows, cols = _pair_indices(n)
+    num_pairs = rows.shape[0]
+    flat_idx = jnp.asarray(rows.astype(np.int64) * n + cols.astype(np.int64))
+
+    key_edges, key_labels = jax.random.split(key)
+    attempt_keys = jax.random.split(key_edges, num_attempts)
+
+    def one_attempt(akey):
+        keys = jax.random.uniform(akey, (num_graphs, num_pairs))
+        _, chosen = jax.lax.top_k(keys, num_edges)
+        edge_mask = (
+            jnp.zeros((num_graphs, num_pairs))
+            .at[jnp.arange(num_graphs)[:, None], chosen]
+            .set(1.0)
+        )
+        adj = (
+            jnp.zeros((num_graphs, n * n)).at[:, flat_idx].set(edge_mask)
+        ).reshape(num_graphs, n, n)
+        ok = (
+            is_weakly_connected(adj)
+            if require_connected
+            else jnp.ones(num_graphs, dtype=bool)
+        )
+        return adj, ok
+
+    adjs, oks = jax.vmap(one_attempt)(attempt_keys)  # [A, G, N, N], [A, G]
+    first_ok = jnp.argmax(oks, axis=0)  # first True per graph (0 if none)
+    adj = jnp.take_along_axis(adjs, first_ok[None, :, None, None], axis=0)[0]
+
+    if label_method == "sample":
+        if label_cardinality == 1:
+            labels = jnp.zeros((num_graphs, n), dtype=jnp.int32)
+        else:
+            keys = jax.random.uniform(key_labels, (num_graphs, label_cardinality))
+            labels = jnp.argsort(keys, axis=1)[:, :n].astype(jnp.int32)
+    else:
+        labels = jax.random.randint(
+            key_labels, (num_graphs, n), 0, label_cardinality, dtype=jnp.int32
+        )
+    return labels, adj
