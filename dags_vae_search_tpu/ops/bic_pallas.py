@@ -1,0 +1,187 @@
+"""Pallas TPU kernel for batched contingency-count scoring.
+
+The XLA fallback (``ops/bic_xla.py``) lowers the contingency stage to a
+scatter (``segment_sum``) which serializes badly on TPU (~2 s per 4096-
+candidate batch on v5e).  This kernel keeps everything in VMEM and turns
+counting into dense compare + matvec work the VPU/MXU eat:
+
+    counts[s] = sum_u  w_u * [seg_u == s]
+             = (w^T @ EQ)      with EQ[u, s] = (seg_u == s)
+
+where ``seg = cfg * r_max + child_code`` combines the parent-configuration
+index and the child value into one flat cell index, ``u`` runs over the
+*unique* dataset rows (weight = multiplicity — for small nets this
+compresses 5000 cases to <= prod(cards) rows), and ``s`` over the
+``q_cap * r_max`` table cells.
+
+Grid: one program per (candidate, node-tile); the unique-row axis is
+processed in static chunks with a running accumulator, so VMEM holds only
+``[U_CHUNK, S]`` equality tiles.
+
+The mixed-radix config computation (one big MXU einsum over all candidates
+x nodes x rows) and the entropy/penalty reduction stay in XLA — they are
+matmul/elementwise shaped and XLA already fuses them well; the kernel covers
+exactly the part XLA does poorly.
+
+Replaces: one ``Rscript`` subprocess per candidate in the reference
+(``src/problem/bn/bnlearn.py:46-54``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dags_vae_search_tpu.ops import bic_xla
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _counts_kernel(w_ref, seg_ref, out_ref, *, node_tile: int, u_chunk: int):
+    """One program: counts for `node_tile` nodes of one candidate.
+
+    w_ref:   [1, U_pad] f32 — unique-row weights (0 for padding rows).
+    seg_ref: [1, node_tile, U_pad] i32 — flat cell index per (node, row);
+             padding rows carry index S (out of range -> equality never hits,
+             but weight 0 guards regardless).
+    out_ref: [1, node_tile, S] f32.
+    """
+    u_pad = w_ref.shape[-1]
+    s = out_ref.shape[-1]
+    num_chunks = u_pad // u_chunk
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (u_chunk, s), 1)
+
+    for i in range(node_tile):
+        acc = jnp.zeros((s,), dtype=jnp.float32)
+        for c in range(num_chunks):
+            seg = seg_ref[0, i, pl.ds(c * u_chunk, u_chunk)].reshape(u_chunk, 1)
+            w = w_ref[0, pl.ds(c * u_chunk, u_chunk)].reshape(u_chunk, 1)
+            # VPU select+reduce keeps integer weights exact in f32 (an MXU
+            # matvec would round weights > 256 through bf16).
+            acc = acc + jnp.sum(jnp.where(seg == iota_s, w, 0.0), axis=0)
+        out_ref[0, i, :] = acc
+
+
+def contingency_counts_pallas(
+    adj: jnp.ndarray,  # float32[B, n, n]
+    codes_u: jnp.ndarray,  # int32[U, n] unique dataset rows
+    weights: jnp.ndarray,  # float32[U] multiplicities
+    cards: jnp.ndarray,  # int32[n]
+    q_cap: int,
+    r_max: int,
+    u_chunk: int = 512,
+    node_tile: int | None = None,
+    interpret: bool = False,
+):
+    """Counts float32[B, n, q_cap, r_max] + config sizes q float32[B, n]."""
+    b, n, _ = adj.shape
+    u = codes_u.shape[0]
+    s = q_cap * r_max
+    s_pad = _round_up(s, 128)
+    u_pad = _round_up(u, u_chunk)
+
+    strides, q = bic_xla.parent_config_strides(adj, cards)
+    # configs[b, i, u] — one MXU einsum for every (candidate, node, row).
+    configs = jnp.einsum(
+        "um,bmi->biu",
+        codes_u.astype(jnp.float32),
+        strides,
+        preferred_element_type=jnp.float32,
+    )
+    child = codes_u.T[None, :, :]  # [1, n, U]
+    seg = jnp.clip(configs, 0.0, float(q_cap - 1)).astype(jnp.int32) * r_max + child
+
+    pad_rows = u_pad - u
+    if pad_rows:
+        seg = jnp.pad(seg, ((0, 0), (0, 0), (0, pad_rows)), constant_values=s_pad)
+        weights = jnp.pad(weights, (0, pad_rows))
+
+    if node_tile is None:
+        # Keep the [node_tile, U] seg block + [U_CHUNK, S] eq tile in VMEM.
+        budget = 2 * 1024 * 1024
+        node_tile = max(1, min(n, budget // (u_pad * 4)))
+        while n % node_tile:
+            node_tile -= 1
+    n_tiles = n // node_tile
+
+    kernel = functools.partial(
+        _counts_kernel, node_tile=node_tile, u_chunk=u_chunk
+    )
+    counts = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, u_pad), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, node_tile, u_pad),
+                lambda bi, ni: (bi, ni, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, node_tile, s_pad),
+            lambda bi, ni: (bi, ni, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, s_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * u_pad * s_pad,
+            bytes_accessed=b * n * (u_pad + s_pad) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(weights[None, :], seg)
+
+    counts = counts[..., :s].reshape(b, n, q_cap, r_max)
+    return counts, q
+
+
+def score_dags_pallas(
+    adj: jnp.ndarray,
+    codes_u: jnp.ndarray,
+    weights: jnp.ndarray,
+    cards: jnp.ndarray,
+    q_cap: int,
+    r_max: int,
+    num_cases: int,
+    metric: str = "bic",
+    max_parents: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched decomposable scores via the Pallas contingency kernel.
+
+    Same contract as ``bic_xla.score_dags`` but takes the unique-row
+    compressed dataset (codes_u, weights) and the true case count.
+    """
+    counts, q = contingency_counts_pallas(
+        adj, codes_u, weights, cards, q_cap, r_max, interpret=interpret
+    )
+
+    cards_f = cards.astype(jnp.float32)
+    n_j = jnp.sum(counts, axis=-1, keepdims=True)
+    safe = counts > 0
+    ratio = jnp.where(safe, counts, 1.0) / jnp.where(n_j > 0, n_j, 1.0)
+    ll = jnp.sum(counts * jnp.where(safe, jnp.log(ratio), 0.0), axis=(-2, -1))
+
+    df = (cards_f[None, :] - 1.0) * q
+    if metric == "bic":
+        node_scores = ll - df * (jnp.log(float(num_cases)) / 2.0)
+    elif metric == "aic":
+        node_scores = ll - df
+    elif metric == "loglik":
+        node_scores = ll
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    total = jnp.sum(node_scores, axis=-1)
+
+    feasible = jnp.all(q <= float(q_cap), axis=-1)
+    if max_parents is not None:
+        indeg = jnp.sum(adj, axis=1)
+        feasible &= jnp.all(indeg <= max_parents, axis=-1)
+    return jnp.where(feasible, total, -jnp.inf)
