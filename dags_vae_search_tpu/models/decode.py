@@ -1,0 +1,116 @@
+"""Autoregressive sampling decode as a fixed-length ``lax.scan``.
+
+The reference's ``PaceVaeV3.decode`` (``src/encoders/pace.py:1666-1749``)
+crosses the device->host boundary every step: softmax to numpy, per-graph
+``np.random.choice``, igraph mutation, and a full Python re-featurization of
+every partial graph.  Here the whole decode is one jitted scan over node
+slots with on-device categorical/Bernoulli sampling; the partial graphs are
+the (labels, adj) state tensors themselves.
+
+Reproduced reference semantics (including its quirks):
+
+- slot 0/1 pre-seeded with start/input, start->input edge;
+- each step samples a node type from ``add_node`` logits and in-edges from
+  per-parent Bernoulli over ``sigmoid(add_edge([h_new ‖ h_parent]))``;
+- if the *sampled* type is the output label, the new node instead connects
+  every current sink (out-degree 0) and the graph freezes — note the
+  reference keys this branch on the sampled type even at the last slot
+  where the stored label is forced to output (``pace.py:1721-1741``), so a
+  non-output sample at the last slot takes ordinary Bernoulli edges;
+- graphs that freeze early keep output-labeled placeholder slots, which
+  unwrap to out-of-range labels and are counted invalid (the reference
+  would crash converting them — trained models never emit them).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dags_vae_search_tpu.graphs.dag import (
+    LABEL_INPUT,
+    LABEL_OUTPUT,
+    LABEL_START,
+    DagBatch,
+    is_valid_labeled,
+    pace_unwrap,
+)
+from dags_vae_search_tpu.models.pace_vae import PaceVAE
+
+
+def sample_decode(
+    model: PaceVAE,
+    variables,
+    z: jnp.ndarray,
+    rng: jax.Array,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Decode latents to PACE tensors.
+
+    Returns (labels int32[B, N], adj float32[B, N, N], finished bool[B])
+    over the wrapped (N = real + 3) vertex space.
+    """
+    batch = z.shape[0]
+    n = model.max_n
+
+    labels0 = jnp.full((batch, n), LABEL_OUTPUT, dtype=jnp.int32)
+    labels0 = labels0.at[:, 0].set(LABEL_START).at[:, 1].set(LABEL_INPUT)
+    adj0 = jnp.zeros((batch, n, n), dtype=jnp.float32).at[:, 0, 1].set(1.0)
+    finished0 = jnp.zeros((batch,), dtype=bool)
+
+    slot = jnp.arange(n)
+
+    def step(carry, idx):
+        labels, adj, finished, key = carry
+        key, k_type, k_edge = jax.random.split(key, 3)
+
+        type_logits, edge_probs = model.apply(
+            variables, z, labels, adj, idx, method=PaceVAE.decode_step
+        )
+
+        sampled = jax.random.categorical(k_type, type_logits, axis=-1)
+        is_output = sampled == LABEL_OUTPUT
+        new_label = jnp.where(idx == n - 1, LABEL_OUTPUT, sampled)
+        labels = labels.at[:, idx].set(
+            jnp.where(finished, labels[:, idx], new_label)
+        )
+
+        parent_ok = (slot >= 1) & (slot <= idx - 1)
+        bern = jax.random.uniform(k_edge, edge_probs.shape) < edge_probs
+        sampled_edges = bern & parent_ok[None, :]
+
+        sinks = (jnp.sum(adj, axis=-1) == 0) & (slot < idx)[None, :]
+        new_col = jnp.where(is_output[:, None], sinks, sampled_edges)
+        new_col = jnp.where(finished[:, None], False, new_col)
+        adj = jax.lax.dynamic_update_index_in_dim(
+            adj, new_col.astype(jnp.float32), idx, axis=2
+        )
+
+        finished = finished | is_output
+        return (labels, adj, finished, key), None
+
+    (labels, adj, finished, _), _ = jax.lax.scan(
+        step, (labels0, adj0, finished0, rng), jnp.arange(2, n)
+    )
+    return labels, adj, finished
+
+
+def decode_to_labeled(
+    model: PaceVAE,
+    variables,
+    z: jnp.ndarray,
+    rng: jax.Array,
+) -> Tuple[DagBatch, jnp.ndarray]:
+    """Decode latents to labeled DAGs + validity mask.
+
+    Validity = unwrapped labels all within the real cardinality (the tensor
+    equivalent of ``LabeledDag.is_valid_graph`` on decoded graphs; DAG-ness
+    holds by construction since sampled edges only point forward).
+    """
+    labels, adj, _ = sample_decode(model, variables, z, rng)
+    unwrapped = pace_unwrap(labels, adj)
+    valid = is_valid_labeled(
+        unwrapped.labels, unwrapped.adj, model.real_label_cardinality
+    )
+    return unwrapped, valid

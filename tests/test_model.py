@@ -1,0 +1,163 @@
+"""PACE VAE tests: parameter-count parity with the reference, loss
+semantics, mask/shape checks, decode validity, and a learning smoke test."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from dags_vae_search_tpu.graphs import pace_wrap, sampler
+from dags_vae_search_tpu.models.decode import decode_to_labeled, sample_decode
+from dags_vae_search_tpu.models.pace_vae import PaceVAE, make_asia_model
+
+
+def _init(model, batch=2):
+    rng = np.random.default_rng(0)
+    labels, adj = sampler.sample_er_batch(
+        rng, batch, model.num_real_vertices, model.num_real_vertices + 1,
+        model.real_label_cardinality, require_connected=False,
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(labels), jnp.asarray(adj))
+    return variables, jnp.asarray(labels), jnp.asarray(adj)
+
+
+def test_param_count_parity_asia():
+    # Reference: asia model = 284,556 params (experiments/01_bn_asia/README.md;
+    # printed by main.py:158). Same architecture -> same count.
+    model = make_asia_model()
+    variables, _, _ = _init(model)
+    count = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    assert count == 284_556
+
+
+def test_param_count_parity_families():
+    # Reference src/train_model.py:60-62: 12+3 -> 402,384; 20+3 -> 502,744;
+    # 100+3 -> 1,506,344 (ninp=32, nhid=64, nlayers=3, nz=64).
+    for n_real, expected in [(12, 402_384), (20, 502_744), (100, 1_506_344)]:
+        model = PaceVAE(
+            num_real_vertices=n_real,
+            real_label_cardinality=n_real,
+            latent_size=64,
+        )
+        variables, _, _ = _init(model)
+        count = sum(x.size for x in jax.tree.leaves(variables["params"]))
+        assert count == expected, (n_real, count, expected)
+
+
+def test_loss_shapes_and_finiteness():
+    model = make_asia_model()
+    variables, labels, adj = _init(model, batch=4)
+    total, recon, kld = model.apply(variables, labels, adj)
+    assert np.isfinite(float(total)) and np.isfinite(float(recon))
+    assert float(kld) >= 0.0
+    assert float(total) == pytest.approx(float(recon) + 0.005 * float(kld), rel=1e-5)
+
+
+def test_encode_shapes():
+    model = make_asia_model()
+    variables, labels, adj = _init(model, batch=4)
+    mu, logvar = model.apply(variables, labels, adj, method=PaceVAE.encode)
+    assert mu.shape == (4, 32) and logvar.shape == (4, 32)
+
+
+def test_loss_edge_targets_are_real_edges():
+    # With add_edge forced to strong logits via crafted params it's hard to
+    # assert targets directly; instead check the loss is sensitive to edges:
+    # flipping one real edge must change recon NLL.
+    model = make_asia_model()
+    variables, labels, adj = _init(model, batch=1)
+    _, recon_a, _ = model.apply(variables, labels, adj)
+    adj_b = np.asarray(adj).copy()
+    # flip an edge between real vertices (slot 3->5 exists or not)
+    adj_b[0, 3, 5] = 1.0 - adj_b[0, 3, 5]
+    _, recon_b, _ = model.apply(variables, labels, jnp.asarray(adj_b))
+    assert float(recon_a) != pytest.approx(float(recon_b))
+
+
+def test_deterministic_loss_reproducible():
+    model = make_asia_model()
+    variables, labels, adj = _init(model, batch=3)
+    a = model.apply(variables, labels, adj)
+    b = model.apply(variables, labels, adj)
+    assert float(a[0]) == float(b[0])
+
+
+def test_stochastic_loss_uses_rngs():
+    model = make_asia_model()
+    variables, labels, adj = _init(model, batch=3)
+    loss = lambda seed: float(
+        model.apply(
+            variables,
+            labels,
+            adj,
+            False,
+            method=PaceVAE.loss,
+            rngs={"dropout": jax.random.PRNGKey(seed), "reparam": jax.random.PRNGKey(seed + 7)},
+        )[0]
+    )
+    assert loss(0) != pytest.approx(loss(1))
+
+
+def test_decode_structure():
+    model = make_asia_model()
+    variables, labels, adj = _init(model, batch=8)
+    z = jnp.zeros((8, 32))
+    pl, pa, finished = sample_decode(model, variables, z, jax.random.PRNGKey(0))
+    assert pl.shape == (8, 11) and pa.shape == (8, 11, 11)
+    # start/input/output invariants
+    assert np.all(np.asarray(pl)[:, 0] == 2)
+    assert np.all(np.asarray(pl)[:, 1] == 0)
+    assert np.all(np.asarray(pa)[:, 0, 1] == 1.0)
+    # edges strictly forward (upper-triangular)
+    a = np.asarray(pa)
+    assert np.all(a * np.tril(np.ones((11, 11))) == 0)
+
+
+def test_decode_roundtrip_types():
+    model = make_asia_model()
+    variables, labels, adj = _init(model, batch=4)
+    mu, _ = model.apply(variables, labels, adj, method=PaceVAE.encode)
+    recon, valid = decode_to_labeled(model, variables, mu, jax.random.PRNGKey(1))
+    assert recon.labels.shape == (4, 8)
+    assert recon.adj.shape == (4, 8, 8)
+    assert valid.shape == (4,)
+
+
+def test_training_reduces_loss():
+    # A few Adam steps on a fixed small batch must reduce the loss — the
+    # end-to-end learning smoke test (grad flow through masks, embeddings,
+    # encoder/decoder, both heads).
+    model = make_asia_model()
+    variables, labels, adj = _init(model, batch=16)
+    params = variables["params"]
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, key):
+        def loss_fn(p):
+            total, recon, kld = model.apply(
+                {"params": p},
+                labels,
+                adj,
+                False,
+                method=PaceVAE.loss,
+                rngs={
+                    "dropout": jax.random.fold_in(key, 0),
+                    "reparam": jax.random.fold_in(key, 1),
+                },
+            )
+            return total, (recon, kld)
+
+        (total, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, total
+
+    key = jax.random.PRNGKey(0)
+    first = None
+    for i in range(60):
+        params, opt_state, total = train_step(params, opt_state, jax.random.fold_in(key, i))
+        if first is None:
+            first = float(total)
+    assert float(total) < 0.75 * first
