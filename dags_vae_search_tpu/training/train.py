@@ -1,0 +1,204 @@
+"""Jitted VAE training loop.
+
+Reference semantics (``src/train_model.py`` + the V3 loop in
+``experiments/01_bn_asia/main.py:117-193``): per batch — loss, backward,
+``clip_grad_norm_(1.0)``, Adam; per epoch — ``ReduceLROnPlateau(factor=0.1,
+patience=10)`` on the last batch loss, wall-clock print, epoch-numbered
+checkpoint.  Here the step is one jitted function (featurization included),
+the LR plateau controller is a small host-side state machine driving an
+``inject_hyperparams`` Adam, and checkpoints are orbax pytrees.
+
+Multi-chip: pass a mesh — batches are sharded over the ``data`` axis,
+params replicated, and the gradient all-reduce is inserted by XLA (SPMD).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh
+
+from dags_vae_search_tpu.models.pace_vae import PaceVAE
+from dags_vae_search_tpu.parallel import mesh as mesh_lib
+from dags_vae_search_tpu.training import data as data_lib
+
+
+@dataclass
+class TrainConfig:
+    batch_size: int = 32
+    epochs: int = 10
+    learning_rate: float = 1e-4
+    clip_norm: float = 1.0
+    # torch ReduceLROnPlateau defaults used by the reference (main.py:162).
+    plateau_factor: float = 0.1
+    plateau_patience: int = 10
+    plateau_threshold: float = 1e-4
+    min_learning_rate: float = 0.0
+    seed: int = 42
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 1
+    log_every: int = 100
+
+
+class PlateauState(NamedTuple):
+    """Host-side ReduceLROnPlateau (mode='min', rel threshold)."""
+
+    best: float
+    bad_epochs: int
+    lr: float
+
+    def step(self, value: float, config: TrainConfig) -> "PlateauState":
+        if value < self.best * (1.0 - config.plateau_threshold):
+            return PlateauState(value, 0, self.lr)
+        bad = self.bad_epochs + 1
+        if bad > config.plateau_patience:
+            new_lr = max(self.lr * config.plateau_factor, config.min_learning_rate)
+            return PlateauState(self.best, 0, new_lr)
+        return PlateauState(self.best, bad, self.lr)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class Trainer:
+    def __init__(
+        self,
+        model: PaceVAE,
+        config: TrainConfig,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.model = model
+        self.config = config
+        self.mesh = mesh
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(config.clip_norm),
+            optax.inject_hyperparams(optax.adam)(
+                learning_rate=config.learning_rate
+            ),
+        )
+        self._train_step = jax.jit(self._make_train_step())
+
+    def _make_train_step(self) -> Callable:
+        model, optimizer = self.model, self.optimizer
+
+        def train_step(state: TrainState, labels, adj, key):
+            def loss_fn(params):
+                total, recon, kld = model.apply(
+                    {"params": params},
+                    labels,
+                    adj,
+                    False,
+                    method=PaceVAE.loss,
+                    rngs={
+                        "dropout": jax.random.fold_in(key, 0),
+                        "reparam": jax.random.fold_in(key, 1),
+                    },
+                )
+                return total, (recon, kld)
+
+            (total, (recon, kld)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, opt_state = optimizer.update(grads, state.opt_state)
+            params = optax.apply_updates(state.params, updates)
+            metrics = {"loss": total, "recon": recon, "kld": kld}
+            return TrainState(params, opt_state, state.step + 1), metrics
+
+        return train_step
+
+    def init_state(self, rng: jax.Array, sample_labels, sample_adj) -> TrainState:
+        variables = self.model.init(
+            rng, jnp.asarray(sample_labels), jnp.asarray(sample_adj)
+        )
+        params = variables["params"]
+        opt_state = self.optimizer.init(params)
+        state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            state = mesh_lib.replicate_tree(self.mesh, state)
+        return state
+
+    def set_learning_rate(self, state: TrainState, lr: float) -> TrainState:
+        opt_state = list(state.opt_state)
+        inner = opt_state[1]
+        hyperparams = dict(inner.hyperparams)
+        hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+        opt_state[1] = inner._replace(hyperparams=hyperparams)
+        return state._replace(opt_state=tuple(opt_state))
+
+    def fit(
+        self,
+        state: TrainState,
+        corpus: data_lib.Corpus,
+        epochs: Optional[int] = None,
+        start_epoch: int = 1,
+        log: Callable[[str], None] = print,
+        checkpoint_fn: Optional[Callable[[int, TrainState], None]] = None,
+    ) -> tuple:
+        """Epoch loop; returns (state, history of per-epoch dicts)."""
+        config = self.config
+        epochs = epochs if epochs is not None else config.epochs
+        rng_np = np.random.default_rng(config.seed)
+        key = jax.random.PRNGKey(config.seed)
+        plateau = PlateauState(float("inf"), 0, config.learning_rate)
+        history: List[Dict] = []
+        time_start = time.time()
+
+        for epoch in range(start_epoch, start_epoch + epochs):
+            last = None
+            batches = 0
+            epoch_t0 = time.time()
+            for labels, adj in data_lib.epoch_batches(
+                corpus, config.batch_size, rng_np
+            ):
+                if self.mesh is not None:
+                    labels, adj = mesh_lib.shard_batch(self.mesh, labels, adj)
+                else:
+                    labels, adj = jnp.asarray(labels), jnp.asarray(adj)
+                key, sub = jax.random.split(key)
+                state, metrics = self._train_step(state, labels, adj, sub)
+                last = metrics
+                batches += 1
+                if config.log_every and batches % config.log_every == 0:
+                    log(
+                        f"epoch {epoch} batch {batches}: "
+                        f"loss {float(metrics['loss']) / config.batch_size:.5f} "
+                        f"recon {float(metrics['recon']) / config.batch_size:.5f} "
+                        f"kld {float(metrics['kld']) / config.batch_size:.5f}"
+                    )
+
+            loss_value = float(last["loss"]) if last is not None else float("nan")
+            new_plateau = plateau.step(loss_value, config)
+            if new_plateau.lr != plateau.lr:
+                log(f"epoch {epoch}: reducing lr to {new_plateau.lr:.2e}")
+                state = self.set_learning_rate(state, new_plateau.lr)
+            plateau = new_plateau
+
+            epoch_dt = time.time() - epoch_t0
+            entry = {
+                "epoch": epoch,
+                "loss_per_graph": loss_value / config.batch_size,
+                "recon_per_graph": float(last["recon"]) / config.batch_size,
+                "kld_per_graph": float(last["kld"]) / config.batch_size,
+                "epoch_seconds": epoch_dt,
+                "graphs_per_second": batches * config.batch_size / epoch_dt,
+                "lr": plateau.lr,
+            }
+            history.append(entry)
+            log(
+                f"====> epoch {epoch} loss {entry['loss_per_graph']:.5f} "
+                f"({entry['graphs_per_second']:,.0f} graphs/s, "
+                f"total {time.time() - time_start:.1f}s)"
+            )
+            if checkpoint_fn is not None and epoch % config.checkpoint_every == 0:
+                checkpoint_fn(epoch, state)
+
+        return state, history
