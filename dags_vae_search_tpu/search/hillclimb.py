@@ -1,0 +1,113 @@
+"""Batched greedy hill-climbing over structure space.
+
+The classical BNSL baseline (and bnlearn's own default algorithm, i.e. what
+the reference's R scorer would be driven by in practice).  With the batched
+on-device scorer, ONE device dispatch evaluates every single-edge move —
+addition, deletion, reversal (~3 n^2 candidates) — so a full climb to a
+local optimum takes a handful of dispatches.  Serves both as a strong
+search baseline and as the certified best-BIC reference for the latent
+searchers.
+
+Operates directly in dataset-column space (vertex i = variable i); general
+adjacency with an explicit on-device acyclicity check (closure trace).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dags_vae_search_tpu.graphs.dag import transitive_closure
+from dags_vae_search_tpu.scoring.bic import BicScorer
+
+
+class HillClimbResult(NamedTuple):
+    best_score: float
+    best_adj: np.ndarray
+    iterations: int
+    num_evals: int
+    history: list
+
+
+def _move_candidates(adj: jnp.ndarray) -> jnp.ndarray:
+    """All single-edge moves of one adjacency [n, n] -> [3*n*n, n, n].
+
+    Slot layout: k = 0..n^2-1 additions (set a->b), n^2..2n^2-1 deletions,
+    2n^2..3n^2-1 reversals.  Invalid moves (adding an existing edge,
+    deleting a non-edge, cyclic results) are filtered by the caller's
+    feasibility mask.
+    """
+    n = adj.shape[-1]
+    eye_flat = jnp.eye(n * n)
+    add = adj[None] + eye_flat.reshape(n * n, n, n)
+    delete = adj[None] - eye_flat.reshape(n * n, n, n)
+    reverse = (
+        adj[None]
+        - eye_flat.reshape(n * n, n, n)
+        + eye_flat.reshape(n * n, n, n).transpose(0, 2, 1)
+    )
+    return jnp.concatenate([add, delete, reverse], axis=0)
+
+
+def _feasible(adj: jnp.ndarray, cands: jnp.ndarray) -> jnp.ndarray:
+    """bool[3n^2]: structurally valid (0/1, no self-loop, no 2-cycle) DAGs."""
+    n = adj.shape[-1]
+    flat = adj.reshape(-1)
+    has_edge = flat > 0
+    has_reverse = adj.T.reshape(-1) > 0
+    diag = jnp.eye(n, dtype=bool).reshape(-1)
+    can_add = (~has_edge) & (~has_reverse) & (~diag)
+    can_del = has_edge
+    can_rev = has_edge & (~diag)
+    structural = jnp.concatenate([can_add, can_del, can_rev])
+    acyclic = jnp.trace(transitive_closure(cands), axis1=-2, axis2=-1) == 0
+    return structural & acyclic
+
+
+def hill_climb(
+    scorer: BicScorer,
+    num_variables: int,
+    init_adj: Optional[np.ndarray] = None,
+    max_iters: int = 200,
+    min_improvement: float = 1e-6,
+) -> HillClimbResult:
+    """Greedy best-move climb from init (empty graph by default)."""
+    n = num_variables
+    adj = jnp.zeros((n, n)) if init_adj is None else jnp.asarray(init_adj)
+
+    @jax.jit
+    def propose(adj):
+        cands = _move_candidates(adj)
+        ok = _feasible(adj, cands)
+        scores = scorer.score(cands)
+        scores = jnp.where(ok, scores, -jnp.inf)
+        k = jnp.argmax(scores)
+        return scores[k], cands[k]
+
+    current = float(scorer.score(adj[None])[0])
+    history = [current]
+    evals = 1
+    for it in range(max_iters):
+        best_score, best_adj = propose(adj)
+        evals += 3 * n * n
+        if float(best_score) <= current + min_improvement:
+            return HillClimbResult(
+                best_score=current,
+                best_adj=np.asarray(adj),
+                iterations=it,
+                num_evals=evals,
+                history=history,
+            )
+        current = float(best_score)
+        adj = best_adj
+        history.append(current)
+    return HillClimbResult(
+        best_score=current,
+        best_adj=np.asarray(adj),
+        iterations=max_iters,
+        num_evals=evals,
+        history=history,
+    )

@@ -1,0 +1,139 @@
+"""Island-parallel latent search across a device mesh.
+
+Each island runs an independent CEM chain (own mean/sigma); the island axis
+is sharded over the mesh's ``data`` axis so XLA places each island's decode
++ score on its own chip, and migration (periodically re-centering the worst
+islands on the global best latent) becomes an ICI collective inserted by
+SPMD partitioning.  On a single chip the same program runs all islands
+locally — the code is mesh-shape agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dags_vae_search_tpu.models.pace_vae import PaceVAE
+from dags_vae_search_tpu.scoring.bic import BicScorer
+from dags_vae_search_tpu.search.latent import SearchResult, decode_and_score
+
+
+class IslandState(NamedTuple):
+    mean: jnp.ndarray  # [I, nz]
+    sigma: jnp.ndarray  # [I, nz]
+    best_score: jnp.ndarray  # [I]
+    best_z: jnp.ndarray  # [I, nz]
+    best_labels: jnp.ndarray  # int32[I, n_real]
+    best_adj: jnp.ndarray  # float32[I, n_real, n_real]
+
+
+def island_cem_search(
+    model: PaceVAE,
+    variables,
+    scorer: BicScorer,
+    key: jax.Array,
+    num_islands: int = 8,
+    population: int = 256,
+    iters: int = 20,
+    elite_frac: float = 0.1,
+    init_sigma: float = 1.0,
+    sigma_floor: float = 0.05,
+    smoothing: float = 0.5,
+    migrate_every: int = 5,
+    mesh: Optional[Mesh] = None,
+    init_means: Optional[jnp.ndarray] = None,
+) -> SearchResult:
+    """Multi-island CEM with periodic best-latent migration."""
+    nz = model.latent_size
+    n_elite = max(1, int(population * elite_frac))
+
+    mean0 = (
+        jnp.zeros((num_islands, nz)) if init_means is None else init_means
+    )
+    n_real = model.num_real_vertices
+    state = IslandState(
+        mean=mean0,
+        sigma=jnp.full((num_islands, nz), init_sigma),
+        best_score=jnp.full((num_islands,), -jnp.inf),
+        best_z=jnp.zeros((num_islands, nz)),
+        best_labels=jnp.zeros((num_islands, n_real), jnp.int32),
+        best_adj=jnp.zeros((num_islands, n_real, n_real)),
+    )
+    if mesh is not None:
+        shard = NamedSharding(mesh, P("data"))
+        state = jax.tree.map(lambda x: jax.device_put(x, shard), state)
+
+    def iteration(state: IslandState, key, migrate: bool):
+        k_z, k_d = jax.random.split(key)
+        noise = jax.random.normal(k_z, (num_islands, population, nz))
+        z = state.mean[:, None, :] + state.sigma[:, None, :] * noise
+        flat_z = z.reshape(num_islands * population, nz)
+        scores, labels, adj = decode_and_score(
+            model, variables, scorer, flat_z, k_d
+        )
+        scores = scores.reshape(num_islands, population)
+        labels = labels.reshape(num_islands, population, -1)
+        adj = adj.reshape(num_islands, population, adj.shape[-2], adj.shape[-1])
+
+        elite_scores, elite_idx = jax.lax.top_k(scores, n_elite)
+        elite = jnp.take_along_axis(z, elite_idx[..., None], axis=1)
+        new_mean = jnp.mean(elite, axis=1)
+        new_sigma = jnp.std(elite, axis=1) + 1e-6
+        mean = smoothing * new_mean + (1 - smoothing) * state.mean
+        sigma = jnp.maximum(
+            smoothing * new_sigma + (1 - smoothing) * state.sigma, sigma_floor
+        )
+
+        iter_best = elite_scores[:, 0]
+        iter_best_z = elite[:, 0, :]
+        top_idx = elite_idx[:, 0]
+        iter_labels = jnp.take_along_axis(
+            labels, top_idx[:, None, None], axis=1
+        )[:, 0]
+        iter_adj = jnp.take_along_axis(
+            adj, top_idx[:, None, None, None], axis=1
+        )[:, 0]
+        improved = iter_best > state.best_score
+        best_score = jnp.where(improved, iter_best, state.best_score)
+        best_z = jnp.where(improved[:, None], iter_best_z, state.best_z)
+        best_labels = jnp.where(
+            improved[:, None], iter_labels, state.best_labels
+        )
+        best_adj = jnp.where(
+            improved[:, None, None], iter_adj, state.best_adj
+        )
+
+        if migrate:
+            # Global best (a cross-island all-reduce on a sharded axis)
+            # replaces the WORST island's search center.
+            g_idx = jnp.argmax(best_score)
+            g_z = best_z[g_idx]
+            w_idx = jnp.argmin(best_score)
+            mean = mean.at[w_idx].set(g_z)
+            sigma = sigma.at[w_idx].set(init_sigma * 0.5)
+
+        return IslandState(mean, sigma, best_score, best_z, best_labels, best_adj)
+
+    step_plain = jax.jit(lambda s, k: iteration(s, k, False))
+    step_migrate = jax.jit(lambda s, k: iteration(s, k, True))
+
+    history = []
+    for it in range(iters):
+        key, sub = jax.random.split(key)
+        step = step_migrate if (it + 1) % migrate_every == 0 else step_plain
+        state = step(state, sub)
+        history.append(float(jnp.max(state.best_score)))
+
+    g_idx = int(jnp.argmax(state.best_score))
+    return SearchResult(
+        best_score=float(state.best_score[g_idx]),
+        best_labels=np.asarray(state.best_labels[g_idx]),
+        best_adj=np.asarray(state.best_adj[g_idx]),
+        best_z=np.asarray(state.best_z[g_idx]),
+        num_evals=iters * num_islands * population,
+        history=history,
+    )

@@ -1,0 +1,186 @@
+"""Latent-space structure search — the capability the reference names itself
+after but never implements (its terminal artifact is one encode -> GP-predict
+-> decode round trip, ``experiments/00_bn_asia_200k/main.py:86-104``).
+
+All strategies are batched over thousands of candidates per device step:
+
+- :func:`decode_and_score` — the core primitive: z batch -> sampling decode
+  -> label-permuted on-device BIC; invalid decodes score -inf.
+- :func:`random_search` — prior/posterior sampling baseline.
+- :func:`cem_search` — cross-entropy method over z: sample population,
+  decode+score, refit mean/sigma on the elite set.
+- :func:`gp_ascent_search` — surrogate-guided: vmapped Adam ascent on the
+  (differentiable) GP posterior mean or UCB over z, then decode+score the
+  optimized points with the real scorer.
+
+Cross-chip island parallelism lives in ``search/islands.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dags_vae_search_tpu.models.decode import decode_to_labeled
+from dags_vae_search_tpu.models.pace_vae import PaceVAE
+from dags_vae_search_tpu.scoring.bic import BicScorer, relabel_to_columns
+
+
+class SearchResult(NamedTuple):
+    best_score: float
+    best_labels: np.ndarray  # int32[n]
+    best_adj: np.ndarray  # float32[n, n]
+    best_z: np.ndarray  # float32[nz]
+    num_evals: int
+    history: list  # per-iteration best score
+
+
+def decode_and_score(
+    model: PaceVAE,
+    variables,
+    scorer: BicScorer,
+    z: jnp.ndarray,
+    rng: jax.Array,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Scores float32[B] (-inf for invalid decodes), labels, adj."""
+    recon, valid = decode_to_labeled(model, variables, z, rng)
+    relabeled = relabel_to_columns(recon.labels, recon.adj)
+    scores = scorer.score(relabeled)
+    scores = jnp.where(valid, scores, -jnp.inf)
+    return scores, recon.labels, recon.adj
+
+
+def _update_best(best, scores, labels, adj, z):
+    idx = int(jnp.argmax(scores))
+    score = float(scores[idx])
+    if best is None or score > best.best_score:
+        return SearchResult(
+            best_score=score,
+            best_labels=np.asarray(labels[idx]),
+            best_adj=np.asarray(adj[idx]),
+            best_z=np.asarray(z[idx]),
+            num_evals=0,
+            history=[],
+        )
+    return best
+
+
+def random_search(
+    model: PaceVAE,
+    variables,
+    scorer: BicScorer,
+    key: jax.Array,
+    rounds: int = 10,
+    batch: int = 1024,
+    sigma: float = 1.0,
+    z_center: Optional[jnp.ndarray] = None,
+) -> SearchResult:
+    """Sample z ~ N(center, sigma^2), decode, score; repeat."""
+    nz = model.latent_size
+    center = jnp.zeros((nz,)) if z_center is None else z_center
+    best = None
+    history = []
+    for r in range(rounds):
+        key, k_z, k_d = jax.random.split(key, 3)
+        z = center + sigma * jax.random.normal(k_z, (batch, nz))
+        scores, labels, adj = decode_and_score(model, variables, scorer, z, k_d)
+        best = _update_best(best, scores, labels, adj, z)
+        history.append(best.best_score)
+    return best._replace(num_evals=rounds * batch, history=history)
+
+
+def cem_search(
+    model: PaceVAE,
+    variables,
+    scorer: BicScorer,
+    key: jax.Array,
+    iters: int = 20,
+    population: int = 1024,
+    elite_frac: float = 0.1,
+    init_mean: Optional[jnp.ndarray] = None,
+    init_sigma: float = 1.0,
+    sigma_floor: float = 0.05,
+    smoothing: float = 0.5,
+) -> SearchResult:
+    """Cross-entropy method over the latent space."""
+    nz = model.latent_size
+    mean = jnp.zeros((nz,)) if init_mean is None else init_mean
+    sigma = jnp.full((nz,), init_sigma)
+    n_elite = max(1, int(population * elite_frac))
+    best = None
+    history = []
+
+    for it in range(iters):
+        key, k_z, k_d = jax.random.split(key, 3)
+        z = mean + sigma * jax.random.normal(k_z, (population, nz))
+        scores, labels, adj = decode_and_score(model, variables, scorer, z, k_d)
+        best = _update_best(best, scores, labels, adj, z)
+        history.append(best.best_score)
+
+        # Elite refit (invalid -inf scores sink to the bottom automatically).
+        _, elite_idx = jax.lax.top_k(scores, n_elite)
+        elite = z[elite_idx]
+        new_mean = jnp.mean(elite, axis=0)
+        new_sigma = jnp.std(elite, axis=0) + 1e-6
+        mean = smoothing * new_mean + (1 - smoothing) * mean
+        sigma = jnp.maximum(
+            smoothing * new_sigma + (1 - smoothing) * sigma, sigma_floor
+        )
+
+    return best._replace(num_evals=iters * population, history=history)
+
+
+def gp_ascent_search(
+    model: PaceVAE,
+    variables,
+    scorer: BicScorer,
+    gp,
+    key: jax.Array,
+    z_init: jnp.ndarray,  # [S, nz] starting points (e.g. encoded corpus mus)
+    steps: int = 100,
+    learning_rate: float = 0.05,
+    ucb_beta: float = 0.0,
+    decode_rounds: int = 4,
+) -> SearchResult:
+    """Vmapped Adam ascent of the GP acquisition over z, then real scoring.
+
+    acquisition(z) = posterior_mean(z) + ucb_beta * posterior_std(z),
+    computed in standardized target space (monotone in the real score).
+    """
+    import optax
+
+    def acquisition(z_batch):
+        mean, std = gp.posterior_mean_std(z_batch)
+        return mean + ucb_beta * std
+
+    opt = optax.adam(learning_rate)
+
+    @jax.jit
+    def ascend(z):
+        opt_state = opt.init(z)
+
+        def step(carry, _):
+            z, opt_state = carry
+            val, grads = jax.value_and_grad(lambda q: -jnp.sum(acquisition(q)))(z)
+            updates, opt_state = opt.update(grads, opt_state)
+            return (optax.apply_updates(z, updates), opt_state), val
+
+        (z, _), _ = jax.lax.scan(step, (z, opt_state), None, length=steps)
+        return z
+
+    z_opt = ascend(z_init)
+    best = None
+    history = []
+    evals = 0
+    for r in range(decode_rounds):
+        key, k_d = jax.random.split(key)
+        scores, labels, adj = decode_and_score(
+            model, variables, scorer, z_opt, k_d
+        )
+        best = _update_best(best, scores, labels, adj, z_opt)
+        history.append(best.best_score)
+        evals += z_opt.shape[0]
+    return best._replace(num_evals=evals, history=history)

@@ -1,0 +1,171 @@
+"""Surrogate (GP) and search-layer tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dags_vae_search_tpu.graphs import sampler
+from dags_vae_search_tpu.models.pace_vae import PaceVAE
+from dags_vae_search_tpu.scoring import catalog
+from dags_vae_search_tpu.scoring.bic import BicScorer
+from dags_vae_search_tpu.scoring.datasets import load_target_csv
+from dags_vae_search_tpu.search import hillclimb, islands, latent
+from dags_vae_search_tpu.surrogate import dataset as sur_dataset
+from dags_vae_search_tpu.surrogate.gp import SGPR, ExactGP
+
+ASIA_TARGET = "/root/reference/data/bn_asia/target.csv"
+GOLDEN_ASIA_BIC = -13331.093616667435
+
+
+def tiny_model():
+    return PaceVAE(
+        num_real_vertices=5,
+        real_label_cardinality=5,
+        embed_size=8,
+        num_heads=2,
+        num_layers=1,
+        latent_size=8,
+        fc_hidden=8,
+        dropout=0.0,
+    )
+
+
+def _init_tiny():
+    model = tiny_model()
+    rng = np.random.default_rng(0)
+    labels, adj = sampler.sample_er_batch(rng, 4, 5, 6, 5)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(labels), jnp.asarray(adj)
+    )
+    return model, variables
+
+
+def test_exact_gp_fits_smooth_function():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(200, 4)).astype(np.float32)
+    y = np.sin(x[:, 0]) + 0.5 * x[:, 1] ** 2 + 0.01 * rng.normal(size=200)
+    gp = ExactGP().fit(x[:150], y[:150], iters=300)
+    pred = gp.predict(x[150:])
+    mae = np.abs(pred - y[150:]).mean()
+    assert mae < 0.2
+    # posterior std positive, differentiable mean
+    grad = jax.grad(lambda z: gp.posterior_mean_std(z[None])[0][0])(
+        jnp.asarray(x[0])
+    )
+    assert np.all(np.isfinite(np.asarray(grad)))
+
+
+def test_sgpr_close_to_exact():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(300, 3)).astype(np.float32)
+    y = x[:, 0] * 2.0 - x[:, 1] + 0.01 * rng.normal(size=300)
+    exact = ExactGP().fit(x[:250], y[:250], iters=300)
+    sparse = SGPR(num_inducing=64).fit(x[:250], y[:250], iters=300)
+    pe = exact.predict(x[250:])
+    ps = sparse.predict(x[250:])
+    assert np.abs(pe - y[250:]).mean() < 0.15
+    assert np.abs(ps - y[250:]).mean() < 0.3
+
+
+def test_predictor_dataset_roundtrip(tmp_path):
+    model, variables = _init_tiny()
+    rng = np.random.default_rng(2)
+    cards = np.full(5, 2, dtype=np.int32)
+    ds_adj = np.zeros((5, 5), dtype=np.float32)
+    ds_adj[0, 2] = ds_adj[1, 2] = 1.0
+    dataset = catalog.simulate_dataset(rng, ds_adj, cards, 500)
+    scorer = BicScorer(dataset)
+    labels, adj = sampler.sample_er_batch(rng, 12, 5, 6, 5)
+    vectors, targets = sur_dataset.build_predictor_dataset(
+        model, variables, scorer, labels, adj, batch_size=8
+    )
+    assert vectors.shape == (12, 8) and targets.shape == (12,)
+    assert np.all(np.isfinite(targets))
+    path = str(tmp_path / "pred")
+    sur_dataset.write_predictor_parquet(path, vectors, targets)
+    v2, t2 = sur_dataset.read_predictor_parquet(path)
+    np.testing.assert_allclose(v2, vectors, rtol=1e-6)
+    np.testing.assert_allclose(t2, targets, rtol=1e-12)
+
+
+@pytest.fixture(scope="module")
+def asia_scorer():
+    return BicScorer(load_target_csv(ASIA_TARGET))
+
+
+def test_hill_climb_recovers_strong_asia_structure(asia_scorer):
+    result = hillclimb.hill_climb(asia_scorer, 8, max_iters=50)
+    empty = float(asia_scorer.score(jnp.zeros((1, 8, 8)))[0])
+    assert result.best_score > empty
+    # Greedy HC from empty on the real 5k-row asia data reaches at least the
+    # ground-truth-structure score (the reference golden BIC).
+    assert result.best_score >= GOLDEN_ASIA_BIC - 1.0
+    assert result.history == sorted(result.history)
+
+
+def test_latent_search_api_runs():
+    model, variables = _init_tiny()
+    rng = np.random.default_rng(3)
+    cards = np.full(5, 2, dtype=np.int32)
+    ds_adj = np.zeros((5, 5), dtype=np.float32)
+    ds_adj[0, 3] = ds_adj[1, 3] = 1.0
+    dataset = catalog.simulate_dataset(rng, ds_adj, cards, 400)
+    scorer = BicScorer(dataset)
+
+    res = latent.random_search(
+        model, variables, scorer, jax.random.PRNGKey(0), rounds=2, batch=32
+    )
+    assert res.num_evals == 64
+    res2 = latent.cem_search(
+        model, variables, scorer, jax.random.PRNGKey(1), iters=3, population=32
+    )
+    assert len(res2.history) == 3
+    # CEM best must be at least as good as pure random given same-ish budget
+    # (both may be -inf for an untrained decoder; just require monotone hist)
+    assert res2.history == sorted(res2.history)
+
+    if np.isfinite(res2.best_score):
+        # returned graph must reproduce the claimed score
+        from dags_vae_search_tpu.scoring.bic import relabel_to_columns
+
+        rel = relabel_to_columns(
+            jnp.asarray(res2.best_labels)[None], jnp.asarray(res2.best_adj)[None]
+        )
+        again = float(scorer.score(rel)[0])
+        assert again == pytest.approx(res2.best_score, abs=1e-3)
+
+
+def test_gp_ascent_search_runs():
+    model, variables = _init_tiny()
+    rng = np.random.default_rng(4)
+    cards = np.full(5, 2, dtype=np.int32)
+    dataset = catalog.simulate_dataset(rng, np.zeros((5, 5), np.float32), cards, 300)
+    scorer = BicScorer(dataset)
+    x = rng.normal(size=(50, 8)).astype(np.float32)
+    y = -np.sum(x**2, axis=1)  # peak at origin
+    gp = ExactGP().fit(x, y, iters=200)
+    z0 = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))
+    res = latent.gp_ascent_search(
+        model, variables, scorer, gp, jax.random.PRNGKey(0), z0,
+        steps=30, decode_rounds=1,
+    )
+    assert res.num_evals == 16
+    # ascent should pull z toward the GP peak (origin)
+    assert float(jnp.mean(jnp.abs(jnp.asarray(res.best_z)))) < float(
+        jnp.mean(jnp.abs(z0))
+    )
+
+
+def test_island_cem_search_runs():
+    model, variables = _init_tiny()
+    rng = np.random.default_rng(5)
+    cards = np.full(5, 2, dtype=np.int32)
+    dataset = catalog.simulate_dataset(rng, np.zeros((5, 5), np.float32), cards, 300)
+    scorer = BicScorer(dataset)
+    res = islands.island_cem_search(
+        model, variables, scorer, jax.random.PRNGKey(0),
+        num_islands=4, population=16, iters=4, migrate_every=2,
+    )
+    assert res.num_evals == 4 * 16 * 4
+    assert len(res.history) == 4
