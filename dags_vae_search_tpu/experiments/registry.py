@@ -1,0 +1,123 @@
+"""Experiment registry — the reference's experiment/data recipes as configs.
+
+Mirrors: ``experiments/01_bn_asia`` + ``data/bn_asia`` (asia),
+``data/bn_sachs`` (sachs), ``experiments/03_synthetic_12`` +
+``data/synthetic_v12_c2`` (synthetic_12), and extends to the larger bnlearn
+catalog targets from ``BASELINE.json`` (child/alarm -> hepar2/win95pts ->
+andes/link) with simulated ground-truth datasets and the README's density
+caps (``README.md:53-58``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+from dags_vae_search_tpu.scoring.catalog import CATALOG, density_cap
+from dags_vae_search_tpu.training.train import TrainConfig
+from dags_vae_search_tpu.utils.config import (
+    CorpusConfig,
+    ExperimentConfig,
+    ModelConfig,
+    SearchConfig,
+)
+
+REFERENCE_DATA = "/root/reference/data"
+
+
+def _reference_csv(name: str):
+    path = os.path.join(REFERENCE_DATA, f"bn_{name}", "target.csv")
+    return path if os.path.exists(path) else None
+
+
+def _catalog_experiment(
+    name: str,
+    corpus_batch: int,
+    steps: int,
+    train: TrainConfig,
+    model: ModelConfig | None = None,
+    max_card: int = 2,
+) -> ExperimentConfig:
+    entry = CATALOG[name]
+    n = entry.num_vertices
+    return ExperimentConfig(
+        name=name,
+        num_vertices=n,
+        label_cardinality=n,
+        dataset_csv=_reference_csv(name),
+        simulate_max_card=max_card,
+        model=model or ModelConfig(),
+        corpus=CorpusConfig(
+            batch_size=corpus_batch,
+            steps_limit=steps,
+            density_limit=density_cap(n),
+        ),
+        train=train,
+        search=SearchConfig(max_parents=min(8, n - 1)),
+    )
+
+
+def build_registry() -> Dict[str, ExperimentConfig]:
+    registry: Dict[str, ExperimentConfig] = {}
+
+    # asia — the flagship (reference experiments/01_bn_asia: 4000x16 corpus,
+    # density 0.4, batch 32, ~100 epochs, lr 1e-4).
+    registry["asia"] = _catalog_experiment(
+        "asia",
+        corpus_batch=4000,
+        steps=16,
+        train=TrainConfig(batch_size=32, epochs=100, learning_rate=1e-4),
+    )
+
+    # sachs (data/bn_sachs: 400x20, density 0.4).
+    registry["sachs"] = _catalog_experiment(
+        "sachs",
+        corpus_batch=400,
+        steps=20,
+        train=TrainConfig(batch_size=32, epochs=100, learning_rate=1e-4),
+    )
+
+    # synthetic_12 (experiments/03: 12 vertices, label cardinality 1).
+    registry["synthetic_12"] = ExperimentConfig(
+        name="synthetic_12",
+        num_vertices=12,
+        label_cardinality=1,
+        corpus=CorpusConfig(batch_size=200, steps_limit=20, density_limit=0.4),
+        train=TrainConfig(batch_size=32, epochs=50, learning_rate=1e-4),
+        search=SearchConfig(max_parents=8),
+    )
+
+    # medium nets (BASELINE.json config 3) — density cap 0.2.
+    for name in ("child", "alarm"):
+        registry[name] = _catalog_experiment(
+            name,
+            corpus_batch=512,
+            steps=20,
+            train=TrainConfig(batch_size=64, epochs=60, learning_rate=1e-4),
+            model=ModelConfig(latent_size=64),
+        )
+
+    # large nets (config 4) — density cap 0.1.
+    for name in ("hepar2", "win95pts"):
+        registry[name] = _catalog_experiment(
+            name,
+            corpus_batch=256,
+            steps=24,
+            train=TrainConfig(batch_size=64, epochs=40, learning_rate=1e-4),
+            model=ModelConfig(latent_size=64),
+        )
+
+    # very large nets (config 5) — density cap 0.05; blocked closures.
+    for name in ("andes", "link"):
+        registry[name] = _catalog_experiment(
+            name,
+            corpus_batch=64,
+            steps=24,
+            train=TrainConfig(batch_size=16, epochs=20, learning_rate=1e-4),
+            model=ModelConfig(latent_size=128),
+        )
+
+    return registry
+
+
+REGISTRY = build_registry()

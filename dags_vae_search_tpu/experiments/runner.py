@@ -1,0 +1,467 @@
+"""Experiment pipeline runner + CLI.
+
+The reference drives its pipeline by commenting lines in each experiment's
+``__main__`` (``experiments/01_bn_asia/main.py:541-570``).  Here every stage
+is a subcommand over a named config:
+
+    python -m dags_vae_search_tpu.experiments.runner asia generate split train
+    python -m dags_vae_search_tpu.experiments.runner asia eval search --epoch 100
+
+Stages (mirroring the reference pipeline, SURVEY.md §3):
+  generate  — curriculum ER corpus -> parquet (data recipes, ``data/*/``)
+  split     — seeded train/test split (``main.py:46-54``)
+  train     — VAE training with epoch checkpoints (``main.py:130-193``)
+  eval      — reconstruction metrics (``main.py:195-265``)
+  predictor — latent/BIC pairs dataset (``main.py:268-303``)
+  gp        — GP surrogate fit + MAE/MAPE report (``main.py:315-393``)
+  search    — latent + structure search for best BIC (the new capability)
+  roundtrip — experiment-00 parity: encode -> GP-predict -> decode -> compare
+
+Artifacts land under ``<data_dir>/<experiment>/``: corpus parquet,
+checkpoints, predictor parquet, and stage reports as JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+class ExperimentRunner:
+    def __init__(self, config, data_dir: Optional[str] = None):
+        self.config = config
+        self.root = os.path.join(data_dir or config.data_dir, config.name)
+        os.makedirs(self.root, exist_ok=True)
+        self._model = None
+        self._dataset = None
+        self._truth_adj = None
+
+    # ------------------------------------------------------------- plumbing
+
+    def path(self, *parts: str) -> str:
+        return os.path.join(self.root, *parts)
+
+    def report(self, stage: str, payload: dict) -> None:
+        payload = {"stage": stage, "time": time.time(), **payload}
+        with open(self.path(f"report_{stage}.json"), "w") as fh:
+            json.dump(payload, fh, indent=2, default=float)
+        print(f"[{self.config.name}:{stage}] " + json.dumps(payload, default=float))
+
+    @property
+    def model(self):
+        if self._model is None:
+            from dags_vae_search_tpu.models.pace_vae import PaceVAE
+
+            self._model = PaceVAE(**self.config.model_kwargs())
+        return self._model
+
+    def scoring_dataset(self):
+        """The discrete dataset scored against (real target.csv or simulated
+        ground truth, persisted for reproducibility)."""
+        if self._dataset is not None:
+            return self._dataset
+        from dags_vae_search_tpu.scoring import catalog
+        from dags_vae_search_tpu.scoring.datasets import (
+            DiscreteDataset,
+            load_target_csv,
+        )
+
+        if self.config.dataset_csv:
+            self._dataset = load_target_csv(self.config.dataset_csv)
+            return self._dataset
+
+        sim_codes = self.path("simulated_codes.npz")
+        if os.path.exists(sim_codes):
+            blob = np.load(sim_codes)
+            self._dataset = DiscreteDataset(
+                codes=blob["codes"],
+                cards=blob["cards"],
+                columns=[f"x{i}" for i in range(blob["codes"].shape[1])],
+            )
+            self._truth_adj = blob["truth_adj"]
+            return self._dataset
+
+        rng = np.random.default_rng(self.config.seed)
+        from dags_vae_search_tpu.graphs import sampler as g_sampler
+        from dags_vae_search_tpu.scoring.catalog import CATALOG
+
+        entry = CATALOG.get(self.config.name)
+        num_edges = (
+            entry.num_edges if entry else 2 * self.config.num_vertices
+        )
+        _, adj = g_sampler.sample_er_batch(
+            rng, 1, self.config.num_vertices, num_edges, self.config.num_vertices
+        )
+        truth = adj[0]
+        cards = rng.integers(
+            2, self.config.simulate_max_card + 1, size=self.config.num_vertices
+        )
+        dataset = catalog.simulate_dataset(
+            rng, truth, cards, self.config.simulate_cases
+        )
+        np.savez(
+            sim_codes, codes=dataset.codes, cards=dataset.cards, truth_adj=truth
+        )
+        self._dataset = dataset
+        self._truth_adj = truth
+        return dataset
+
+    def scorer(self, impl: str = "auto"):
+        from dags_vae_search_tpu.scoring.bic import BicScorer
+
+        return BicScorer(
+            self.scoring_dataset(),
+            max_parents=self.config.search.max_parents,
+            impl=impl,
+        )
+
+    def load_state(self, epoch: Optional[int] = None):
+        import jax
+
+        from dags_vae_search_tpu.training import checkpoint as ckpt
+        from dags_vae_search_tpu.training.train import Trainer
+
+        ckpt_dir = self.path("checkpoints")
+        if epoch is None:
+            epoch = ckpt.latest_epoch(ckpt_dir)
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+        corpus = self._load_corpus("train")
+        trainer = Trainer(self.model, self.config.train)
+        state = trainer.init_state(
+            jax.random.PRNGKey(self.config.seed),
+            corpus.labels[:2],
+            corpus.adj[:2],
+        )
+        params = ckpt.restore_params(ckpt_dir, epoch, state.params)
+        return trainer, state._replace(params=params), epoch
+
+    def _load_corpus(self, split: str):
+        from dags_vae_search_tpu.training import data as data_lib
+
+        return data_lib.load_corpus(self.path(split))
+
+    # --------------------------------------------------------------- stages
+
+    def stage_generate(self) -> None:
+        from dags_vae_search_tpu.graphs import codec, sampler
+
+        rng = np.random.default_rng(self.config.seed)
+        t0 = time.time()
+        labels, adj = sampler.generate_corpus(
+            rng,
+            self.config.num_vertices,
+            self.config.label_cardinality,
+            self.config.corpus.batch_size,
+            self.config.corpus.steps_limit,
+            self.config.corpus.density_limit,
+            self.config.corpus.label_method,
+        )
+        codec.write_dataset(self.path("corpus"), labels, adj)
+        self.report(
+            "generate",
+            {
+                "rows": int(labels.shape[0]),
+                "seconds": time.time() - t0,
+                "graphs_per_second": labels.shape[0] / (time.time() - t0),
+            },
+        )
+
+    def stage_split(self) -> None:
+        from dags_vae_search_tpu.graphs import codec
+        from dags_vae_search_tpu.training import data as data_lib
+
+        corpus = self._load_corpus("corpus")
+        train, test = data_lib.train_test_split(
+            corpus, self.config.corpus.test_ratio, self.config.seed
+        )
+        codec.write_dataset(self.path("train"), train.labels, train.adj)
+        codec.write_dataset(self.path("test"), test.labels, test.adj)
+        self.report("split", {"train_rows": len(train), "test_rows": len(test)})
+
+    def stage_train(
+        self, epochs: Optional[int] = None, resume: bool = False
+    ) -> None:
+        import jax
+
+        from dags_vae_search_tpu.training import checkpoint as ckpt
+        from dags_vae_search_tpu.training.train import Trainer
+
+        corpus = self._load_corpus("train")
+        trainer = Trainer(self.model, self.config.train)
+        state = trainer.init_state(
+            jax.random.PRNGKey(self.config.seed),
+            corpus.labels[:2],
+            corpus.adj[:2],
+        )
+        ckpt_dir = self.path("checkpoints")
+        start_epoch = 1
+        if resume:
+            latest = ckpt.latest_epoch(ckpt_dir)
+            if latest is not None:
+                params = ckpt.restore_params(ckpt_dir, latest, state.params)
+                state = state._replace(params=params)
+                start_epoch = latest + 1
+
+        def save(epoch, st):
+            ckpt.save_checkpoint(ckpt_dir, epoch, {"params": st.params})
+
+        state, history = trainer.fit(
+            state,
+            corpus,
+            epochs=epochs,
+            start_epoch=start_epoch,
+            checkpoint_fn=save,
+        )
+        self.report(
+            "train",
+            {
+                "epochs": len(history),
+                "final": history[-1] if history else None,
+                "history": history,
+            },
+        )
+
+    def stage_eval(
+        self,
+        epoch: Optional[int] = None,
+        max_batches: Optional[int] = 20,
+        use_isomorphism: bool = True,
+    ) -> None:
+        import jax
+
+        from dags_vae_search_tpu.training import eval as eval_lib
+
+        trainer, state, epoch = self.load_state(epoch)
+        corpus = self._load_corpus("test")
+        metrics = eval_lib.evaluate_corpus(
+            self.model,
+            {"params": state.params},
+            corpus,
+            self.config.train.batch_size,
+            jax.random.PRNGKey(self.config.seed + 1),
+            max_batches=max_batches,
+            use_isomorphism=use_isomorphism,
+        )
+        self.report("eval", {"epoch": epoch, **metrics})
+
+    def stage_predictor(
+        self, epoch: Optional[int] = None, max_rows: int = 4096
+    ) -> None:
+        from dags_vae_search_tpu.surrogate import dataset as sur_dataset
+
+        trainer, state, epoch = self.load_state(epoch)
+        corpus = self._load_corpus("test")
+        rows = min(max_rows, len(corpus))
+        vectors, targets = sur_dataset.build_predictor_dataset(
+            self.model,
+            {"params": state.params},
+            self.scorer(),
+            corpus.labels[:rows],
+            corpus.adj[:rows],
+        )
+        sur_dataset.write_predictor_parquet(
+            self.path("predictor_dataset"), vectors, targets
+        )
+        finite = np.isfinite(targets)
+        self.report(
+            "predictor",
+            {
+                "epoch": epoch,
+                "rows": int(rows),
+                "finite_fraction": float(finite.mean()),
+            },
+        )
+
+    def stage_gp(self, train_fraction: float = 0.8) -> None:
+        from dags_vae_search_tpu.surrogate import dataset as sur_dataset
+        from dags_vae_search_tpu.surrogate.gp import SGPR, ExactGP
+
+        vectors, targets = sur_dataset.read_predictor_parquet(
+            self.path("predictor_dataset")
+        )
+        keep = np.isfinite(targets)
+        vectors, targets = vectors[keep], targets[keep]
+        n_train = int(len(vectors) * train_fraction)
+        model_cls = ExactGP if n_train <= 6000 else SGPR
+        gp = model_cls().fit(
+            vectors[:n_train], targets[:n_train], iters=self.config.search.gp_iters
+        )
+        pred = gp.predict(vectors[n_train:])
+        mae = float(np.abs(pred - targets[n_train:]).mean())
+        mape = float(
+            np.abs((pred - targets[n_train:]) / targets[n_train:]).mean()
+        )
+        self.report(
+            "gp",
+            {
+                "model": model_cls.__name__,
+                "train_points": n_train,
+                "test_points": len(vectors) - n_train,
+                "mae": mae,
+                "mape": mape,
+            },
+        )
+
+    def stage_search(self, epoch: Optional[int] = None) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        from dags_vae_search_tpu.search import hillclimb, islands
+
+        scorer = self.scorer()
+        cfg = self.config.search
+        result_payload = {}
+
+        # Structure-space: batched greedy hill climbing (certified local opt).
+        t0 = time.time()
+        hc = hillclimb.hill_climb(
+            scorer, self.scoring_dataset().num_variables,
+            max_iters=cfg.hill_climb_iters,
+        )
+        result_payload["hill_climb"] = {
+            "best_bic": float(scorer.score_exact(hc.best_adj[None])[0]),
+            "iterations": hc.iterations,
+            "evals": hc.num_evals,
+            "seconds": time.time() - t0,
+        }
+
+        # Latent-space: island CEM through the trained VAE decoder.
+        try:
+            trainer, state, epoch = self.load_state(epoch)
+            t0 = time.time()
+            res = islands.island_cem_search(
+                self.model,
+                {"params": state.params},
+                scorer,
+                jax.random.PRNGKey(self.config.seed + 2),
+                num_islands=cfg.islands,
+                population=cfg.island_population,
+                iters=cfg.island_iters,
+            )
+            latent_payload = {
+                "best_bic": res.best_score,
+                "evals": res.num_evals,
+                "seconds": time.time() - t0,
+                "epoch": epoch,
+            }
+            if np.isfinite(res.best_score):
+                from dags_vae_search_tpu.scoring.bic import relabel_to_columns
+
+                rel = relabel_to_columns(
+                    jnp.asarray(res.best_labels)[None],
+                    jnp.asarray(res.best_adj)[None],
+                )
+                latent_payload["best_bic_exact"] = float(
+                    scorer.score_exact(np.asarray(rel))[0]
+                )
+            result_payload["island_cem"] = latent_payload
+        except FileNotFoundError:
+            result_payload["island_cem"] = "skipped (no checkpoint)"
+
+        if self._truth_adj is not None:
+            result_payload["ground_truth_bic"] = float(
+                scorer.score_exact(self._truth_adj[None])[0]
+            )
+        self.report("search", result_payload)
+
+    def stage_roundtrip(self, epoch: Optional[int] = None) -> None:
+        """Experiment-00 parity: encode a graph, GP-predict its BIC, decode
+        it back, compare (``experiments/00_bn_asia_200k/main.py:46-105``)."""
+        import jax
+        import jax.numpy as jnp
+
+        from dags_vae_search_tpu.graphs.dag import graphs_equal_exact
+        from dags_vae_search_tpu.models.decode import decode_to_labeled
+        from dags_vae_search_tpu.models.pace_vae import PaceVAE
+        from dags_vae_search_tpu.surrogate import dataset as sur_dataset
+        from dags_vae_search_tpu.surrogate.gp import ExactGP
+
+        trainer, state, epoch = self.load_state(epoch)
+        variables = {"params": state.params}
+        corpus = self._load_corpus("test")
+        lb = jnp.asarray(corpus.labels[:1])
+        ad = jnp.asarray(corpus.adj[:1])
+
+        mu, _ = self.model.apply(variables, lb, ad, method=PaceVAE.encode)
+        scorer = self.scorer()
+        from dags_vae_search_tpu.scoring.bic import relabel_to_columns
+
+        true_bic = float(
+            scorer.score_exact(np.asarray(relabel_to_columns(lb, ad)))[0]
+        )
+
+        vectors, targets = sur_dataset.read_predictor_parquet(
+            self.path("predictor_dataset")
+        )
+        keep = np.isfinite(targets)
+        gp = ExactGP().fit(
+            vectors[keep][:4000], targets[keep][:4000],
+            iters=self.config.search.gp_iters,
+        )
+        predicted = float(gp.predict(np.asarray(mu))[0])
+
+        recon, valid = decode_to_labeled(
+            self.model, variables, mu, jax.random.PRNGKey(7)
+        )
+        equal = bool(
+            graphs_equal_exact(lb, ad, recon.labels, recon.adj)[0]
+        )
+        self.report(
+            "roundtrip",
+            {
+                "epoch": epoch,
+                "true_bic": true_bic,
+                "gp_predicted_bic": predicted,
+                "relative_error": abs(predicted - true_bic) / abs(true_bic),
+                "decode_valid": bool(valid[0]),
+                "decode_equal": equal,
+            },
+        )
+
+
+STAGES = (
+    "generate",
+    "split",
+    "train",
+    "eval",
+    "predictor",
+    "gp",
+    "search",
+    "roundtrip",
+)
+
+
+def main(argv=None):
+    from dags_vae_search_tpu.experiments.registry import REGISTRY
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("experiment", choices=sorted(REGISTRY))
+    parser.add_argument("stages", nargs="+", choices=STAGES)
+    parser.add_argument("--data-dir", default=None)
+    parser.add_argument("--epoch", type=int, default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--batch-size", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    config = REGISTRY[args.experiment]
+    if args.batch_size:
+        config.train.batch_size = args.batch_size
+    runner = ExperimentRunner(config, data_dir=args.data_dir)
+    for stage in args.stages:
+        if stage == "train":
+            runner.stage_train(epochs=args.epochs, resume=args.resume)
+        elif stage in ("eval", "predictor", "search", "roundtrip"):
+            getattr(runner, f"stage_{stage}")(epoch=args.epoch)
+        else:
+            getattr(runner, f"stage_{stage}")()
+
+
+if __name__ == "__main__":
+    main()

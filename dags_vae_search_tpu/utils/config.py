@@ -1,0 +1,71 @@
+"""Experiment configuration — the dataclass/CLI config system the reference
+lacks (all its hyperparameters are hardcoded literals at call sites and
+pipeline stages are toggled by commenting lines in ``__main__``,
+``experiments/01_bn_asia/main.py:541-570``; SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from dags_vae_search_tpu.training.train import TrainConfig
+
+
+@dataclass
+class ModelConfig:
+    embed_size: int = 32
+    num_heads: int = 8
+    num_layers: int = 3
+    latent_size: int = 32
+    fc_hidden: int = 32
+    dropout: float = 0.15
+
+
+@dataclass
+class CorpusConfig:
+    batch_size: int = 4000  # graphs per curriculum batch
+    steps_limit: int = 16
+    density_limit: float = 0.4
+    label_method: str = "sample"
+    test_ratio: float = 0.1
+
+
+@dataclass
+class SearchConfig:
+    cem_iters: int = 30
+    cem_population: int = 2048
+    islands: int = 8
+    island_population: int = 512
+    island_iters: int = 30
+    hill_climb_iters: int = 200
+    gp_train_points: int = 4000
+    gp_iters: int = 500
+    max_parents: Optional[int] = None
+
+
+@dataclass
+class ExperimentConfig:
+    name: str
+    num_vertices: int
+    label_cardinality: int
+    dataset_csv: Optional[str] = None  # real target.csv; None => simulate
+    simulate_cases: int = 5000
+    simulate_max_card: int = 2
+    model: ModelConfig = field(default_factory=ModelConfig)
+    corpus: CorpusConfig = field(default_factory=CorpusConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    search: SearchConfig = field(default_factory=SearchConfig)
+    seed: int = 42
+    data_dir: str = "data"
+
+    def model_kwargs(self) -> dict:
+        return dict(
+            num_real_vertices=self.num_vertices,
+            real_label_cardinality=self.label_cardinality,
+            embed_size=self.model.embed_size,
+            num_heads=self.model.num_heads,
+            num_layers=self.model.num_layers,
+            latent_size=self.model.latent_size,
+            fc_hidden=self.model.fc_hidden,
+            dropout=self.model.dropout,
+        )
