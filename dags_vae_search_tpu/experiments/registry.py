@@ -37,6 +37,7 @@ def _catalog_experiment(
     train: TrainConfig,
     model: ModelConfig | None = None,
     max_card: int = 2,
+    density: float | None = None,
 ) -> ExperimentConfig:
     entry = CATALOG[name]
     n = entry.num_vertices
@@ -50,7 +51,7 @@ def _catalog_experiment(
         corpus=CorpusConfig(
             batch_size=corpus_batch,
             steps_limit=steps,
-            density_limit=density_cap(n),
+            density_limit=density if density is not None else density_cap(n),
         ),
         train=train,
         search=SearchConfig(max_parents=min(8, n - 1)),
@@ -66,6 +67,7 @@ def build_registry() -> Dict[str, ExperimentConfig]:
         "asia",
         corpus_batch=4000,
         steps=16,
+        density=0.4,  # the asia recipe (data/bn_asia/encoder_dataset.py)
         train=TrainConfig(batch_size=32, epochs=100, learning_rate=1e-4),
     )
 
@@ -74,6 +76,7 @@ def build_registry() -> Dict[str, ExperimentConfig]:
         "sachs",
         corpus_batch=400,
         steps=20,
+        density=0.4,
         train=TrainConfig(batch_size=32, epochs=100, learning_rate=1e-4),
     )
 

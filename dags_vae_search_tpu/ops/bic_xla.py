@@ -92,6 +92,7 @@ def score_dags(
     metric: str = "bic",
     max_parents: int | None = None,
     node_mask: jnp.ndarray | None = None,
+    return_node_scores: bool = False,
 ) -> jnp.ndarray:
     """Score a batch of candidate DAGs against a discrete dataset.
 
@@ -135,6 +136,8 @@ def score_dags(
 
     if node_mask is not None:
         node_scores = jnp.where(node_mask[None, :], node_scores, 0.0)
+    if return_node_scores:
+        return node_scores
 
     total = jnp.sum(node_scores, axis=-1)
 

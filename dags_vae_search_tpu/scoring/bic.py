@@ -116,6 +116,22 @@ class BicScorer:
                 bic_xla.contingency_counts, q_cap=self.q_cap, r_max=r_max
             )
         )
+        node_fn = functools.partial(
+            bic_xla.score_dags,
+            q_cap=self.q_cap,
+            r_max=r_max,
+            metric=self.metric,
+            max_parents=None,
+            return_node_scores=True,
+        )
+        self._node_scores_fn = jax.jit(
+            lambda adj: node_fn(adj, self._codes, self._cards)
+        )
+
+    def score_nodes(self, adj: jnp.ndarray) -> jnp.ndarray:
+        """Per-node decomposable scores float32[B, n] (no feasibility
+        masking) — the primitive behind family enumeration / exact DP."""
+        return self._node_scores_fn(adj)
 
     def score(self, adj: jnp.ndarray) -> jnp.ndarray:
         """Score candidate structures. adj: float[B, n, n] -> float32[B].

@@ -169,3 +169,48 @@ def test_island_cem_search_runs():
     )
     assert res.num_evals == 4 * 16 * 4
     assert len(res.history) == 4
+
+
+def test_exact_search_brute_force_parity():
+    # 4-variable problem: exact DP must match brute force over all DAGs.
+    rng = np.random.default_rng(7)
+    cards = np.array([2, 3, 2, 2], dtype=np.int32)
+    truth = np.zeros((4, 4), dtype=np.float32)
+    truth[0, 1] = truth[1, 3] = truth[2, 3] = 1.0
+    dataset = catalog.simulate_dataset(rng, truth, cards, 1500)
+    scorer = BicScorer(dataset, q_cap=64)
+    from dags_vae_search_tpu.search import exact
+
+    res = exact.exact_search(scorer, 4, max_parents=3)
+
+    # brute force: all 543 DAGs on 4 nodes via all 2^12 digraphs, DAG filter
+    import itertools as it
+
+    best = -np.inf
+    pairs = [(a, b) for a in range(4) for b in range(4) if a != b]
+    adjs = []
+    for bits in it.product([0, 1], repeat=len(pairs)):
+        adj = np.zeros((4, 4), dtype=np.float32)
+        for bit, (a, b) in zip(bits, pairs):
+            adj[a, b] = bit
+        adjs.append(adj)
+    adjs = np.stack(adjs)
+    from dags_vae_search_tpu.graphs.dag import transitive_closure
+
+    closure = np.asarray(transitive_closure(jnp.asarray(adjs)))
+    acyclic = closure.trace(axis1=-2, axis2=-1) == 0
+    scores = scorer.score_exact(adjs[acyclic])
+    best = scores.max()
+    assert res.best_score == pytest.approx(best, abs=0.05)
+    # returned adjacency scores what it claims
+    assert scorer.score_exact(res.best_adj[None])[0] == pytest.approx(
+        res.best_score, abs=0.05
+    )
+
+
+def test_exact_search_asia_beats_hill_climb(asia_scorer):
+    from dags_vae_search_tpu.search import exact
+
+    res = exact.exact_search(asia_scorer, 8, max_parents=4)
+    hc = hillclimb.hill_climb(asia_scorer, 8, max_iters=60)
+    assert res.best_score >= hc.best_score - 1e-3
