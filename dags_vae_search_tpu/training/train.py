@@ -44,6 +44,11 @@ class TrainConfig:
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 1
     log_every: int = 100
+    # >1 enables the device-resident loop: corpus in HBM, K optimizer steps
+    # per dispatch under lax.scan. Useful when device dispatch latency >>
+    # step compute; costs a much longer one-time XLA compile of the scanned
+    # step, so the per-step path (1) is the default.
+    steps_per_call: int = 1
 
 
 class PlateauState(NamedTuple):
@@ -86,6 +91,7 @@ class Trainer:
             ),
         )
         self._train_step = jax.jit(self._make_train_step())
+        self._chunk_step = jax.jit(self._make_chunk_step())
 
     def _make_train_step(self) -> Callable:
         model, optimizer = self.model, self.optimizer
@@ -114,6 +120,30 @@ class Trainer:
             return TrainState(params, opt_state, state.step + 1), metrics
 
         return train_step
+
+    def _make_chunk_step(self) -> Callable:
+        """Many train steps per dispatch: the corpus lives in HBM and a
+        ``lax.scan`` over per-step index blocks runs K optimizer steps in
+        one jitted call — removing the per-step host->device round trip
+        that dominates small-batch training through a remote device."""
+        train_step = self._make_train_step()
+
+        def chunk_step(state: TrainState, corpus_labels, corpus_adj, idx, key):
+            # idx: int32[K, B] — gather indices for K consecutive steps.
+            def body(carry, step_idx):
+                state, key = carry
+                key, sub = jax.random.split(key)
+                labels = jnp.take(corpus_labels, step_idx, axis=0)
+                adj = jnp.take(corpus_adj, step_idx, axis=0)
+                state, metrics = train_step(state, labels, adj, sub)
+                return (state, key), jnp.stack(
+                    [metrics["loss"], metrics["recon"], metrics["kld"]]
+                )
+
+            (state, _), stacked = jax.lax.scan(body, (state, key), idx)
+            return state, stacked  # stacked: [K, 3]
+
+        return chunk_step
 
     def init_state(self, rng: jax.Array, sample_labels, sample_adj) -> TrainState:
         variables = self.model.init(
@@ -151,29 +181,89 @@ class Trainer:
         plateau = PlateauState(float("inf"), 0, config.learning_rate)
         history: List[Dict] = []
         time_start = time.time()
+        device_loop = config.steps_per_call > 1
+
+        if device_loop:
+            if self.mesh is not None:
+                corpus_labels, corpus_adj = (
+                    mesh_lib.replicate_tree(
+                        self.mesh, (jnp.asarray(corpus.labels), jnp.asarray(corpus.adj))
+                    )
+                )
+            else:
+                corpus_labels = jnp.asarray(corpus.labels)
+                corpus_adj = jnp.asarray(corpus.adj)
 
         for epoch in range(start_epoch, start_epoch + epochs):
             last = None
             batches = 0
             epoch_t0 = time.time()
-            for labels, adj in data_lib.epoch_batches(
-                corpus, config.batch_size, rng_np
-            ):
-                if self.mesh is not None:
-                    labels, adj = mesh_lib.shard_batch(self.mesh, labels, adj)
-                else:
-                    labels, adj = jnp.asarray(labels), jnp.asarray(adj)
-                key, sub = jax.random.split(key)
-                state, metrics = self._train_step(state, labels, adj, sub)
-                last = metrics
-                batches += 1
-                if config.log_every and batches % config.log_every == 0:
-                    log(
-                        f"epoch {epoch} batch {batches}: "
-                        f"loss {float(metrics['loss']) / config.batch_size:.5f} "
-                        f"recon {float(metrics['recon']) / config.batch_size:.5f} "
-                        f"kld {float(metrics['kld']) / config.batch_size:.5f}"
+            if device_loop:
+                b = config.batch_size
+                steps = len(corpus) // b
+                if steps == 0:
+                    raise ValueError("corpus smaller than one batch")
+                perm = rng_np.permutation(len(corpus))[: steps * b].reshape(
+                    steps, b
+                )
+                k = min(config.steps_per_call, steps)
+                vals = None
+                for start in range(0, steps - (steps % k), k):
+                    block = jnp.asarray(
+                        perm[start : start + k], dtype=jnp.int32
                     )
+                    if self.mesh is not None:
+                        block = jax.device_put(
+                            block,
+                            jax.sharding.NamedSharding(
+                                self.mesh, jax.sharding.PartitionSpec(None, "data")
+                            ),
+                        )
+                    key, sub = jax.random.split(key)
+                    state, stacked = self._chunk_step(
+                        state, corpus_labels, corpus_adj, block, sub
+                    )
+                    batches += k
+                    if config.log_every:
+                        vals = np.asarray(stacked[-1])
+                        log(
+                            f"epoch {epoch} batch {batches}: "
+                            f"loss {vals[0] / b:.5f} recon {vals[1] / b:.5f} "
+                            f"kld {vals[2] / b:.5f}"
+                        )
+                # leftover (< k) steps go through the single-step path so
+                # every batch of the epoch is consumed.
+                for step_row in perm[steps - (steps % k) :]:
+                    labels = jnp.take(corpus_labels, jnp.asarray(step_row), axis=0)
+                    adj = jnp.take(corpus_adj, jnp.asarray(step_row), axis=0)
+                    key, sub = jax.random.split(key)
+                    state, metrics = self._train_step(state, labels, adj, sub)
+                    batches += 1
+                    vals = np.asarray(
+                        [metrics["loss"], metrics["recon"], metrics["kld"]]
+                    )
+                if vals is None:
+                    vals = np.asarray(stacked[-1])
+                last = {"loss": vals[0], "recon": vals[1], "kld": vals[2]}
+            else:
+                for labels, adj in data_lib.epoch_batches(
+                    corpus, config.batch_size, rng_np
+                ):
+                    if self.mesh is not None:
+                        labels, adj = mesh_lib.shard_batch(self.mesh, labels, adj)
+                    else:
+                        labels, adj = jnp.asarray(labels), jnp.asarray(adj)
+                    key, sub = jax.random.split(key)
+                    state, metrics = self._train_step(state, labels, adj, sub)
+                    last = metrics
+                    batches += 1
+                    if config.log_every and batches % config.log_every == 0:
+                        log(
+                            f"epoch {epoch} batch {batches}: "
+                            f"loss {float(metrics['loss']) / config.batch_size:.5f} "
+                            f"recon {float(metrics['recon']) / config.batch_size:.5f} "
+                            f"kld {float(metrics['kld']) / config.batch_size:.5f}"
+                        )
 
             loss_value = float(last["loss"]) if last is not None else float("nan")
             new_plateau = plateau.step(loss_value, config)
