@@ -68,7 +68,8 @@ def build_registry() -> Dict[str, ExperimentConfig]:
         corpus_batch=4000,
         steps=16,
         density=0.4,  # the asia recipe (data/bn_asia/encoder_dataset.py)
-        train=TrainConfig(batch_size=32, epochs=100, learning_rate=1e-4),
+        train=TrainConfig(batch_size=32, epochs=100, learning_rate=1e-4,
+                          steps_per_call=100),
     )
 
     # sachs (data/bn_sachs: 400x20, density 0.4).
@@ -77,7 +78,8 @@ def build_registry() -> Dict[str, ExperimentConfig]:
         corpus_batch=400,
         steps=20,
         density=0.4,
-        train=TrainConfig(batch_size=32, epochs=100, learning_rate=1e-4),
+        train=TrainConfig(batch_size=32, epochs=100, learning_rate=1e-4,
+                          steps_per_call=100),
     )
 
     # synthetic_12 (experiments/03: 12 vertices, label cardinality 1).
@@ -86,7 +88,8 @@ def build_registry() -> Dict[str, ExperimentConfig]:
         num_vertices=12,
         label_cardinality=1,
         corpus=CorpusConfig(batch_size=200, steps_limit=20, density_limit=0.4),
-        train=TrainConfig(batch_size=32, epochs=50, learning_rate=1e-4),
+        train=TrainConfig(batch_size=32, epochs=50, learning_rate=1e-4,
+                          steps_per_call=100),
         search=SearchConfig(max_parents=8),
     )
 
