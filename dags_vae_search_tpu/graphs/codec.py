@@ -31,8 +31,40 @@ def pyarrow_schema(num_vertices: int) -> pa.Schema:
     return pa.schema(label_fields + edge_fields)
 
 
+def _column_bitstring_buffer(col: pa.ChunkedArray, width: int, rows: int):
+    """Zero-copy view of a fixed-width string column's data bytes, or None.
+
+    Arrow stores a string column as (offsets, data); when every row is
+    exactly ``width`` chars with no nulls, ``data`` IS the concatenation of
+    all bitstrings — no per-row Python string materialization needed.
+    """
+    arr = col.combine_chunks()
+    if arr.null_count:
+        return None
+    if isinstance(arr, pa.ChunkedArray):  # empty table edge case
+        return None
+    offsets_buf = arr.buffers()[1]
+    data_buf = arr.buffers()[2]
+    if offsets_buf is None or data_buf is None:
+        return None
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offsets = np.frombuffer(offsets_buf, dtype=off_dtype)[
+        arr.offset : arr.offset + rows + 1
+    ]
+    if offsets[-1] - offsets[0] != rows * width:
+        return None
+    if not np.all(np.diff(offsets) == width):
+        return None
+    data = np.frombuffer(data_buf, dtype=np.uint8)
+    return data[offsets[0] : offsets[0] + rows * width]
+
+
 def table_to_tensors(table: pa.Table) -> Tuple[np.ndarray, np.ndarray]:
-    """Decode a pyarrow table of l/e columns to (labels[B,N], adj[B,N,N])."""
+    """Decode a pyarrow table of l/e columns to (labels[B,N], adj[B,N,N]).
+
+    Fast path: zero-copy arrow buffers + the native decode kernel
+    (``native/fast_codec.cpp``); numpy strided stores otherwise.
+    """
     label_cols = sorted(
         (c for c in table.column_names if c.startswith("l") and c[1:].isdigit()),
         key=lambda c: int(c[1:]),
@@ -45,34 +77,55 @@ def table_to_tensors(table: pa.Table) -> Tuple[np.ndarray, np.ndarray]:
     )
 
     adj = np.zeros((rows, n, n), dtype=np.float32)
+    buffers = {}
     for i in range(1, n):
-        col = table.column(f"e{i}")
-        # Join all row bitstrings for this vertex into one byte buffer and
-        # reshape: every row contributes exactly i characters.
-        joined = "".join(col.to_pylist())
-        bits = np.frombuffer(joined.encode("ascii"), dtype=np.uint8).reshape(rows, i)
-        adj[:, :i, i] = bits - ord("0")
+        buf = _column_bitstring_buffer(table.column(f"e{i}"), i, rows)
+        if buf is None:  # irregular column: per-row fallback
+            joined = "".join(table.column(f"e{i}").to_pylist())
+            buf = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+        buffers[i] = np.ascontiguousarray(buf)
+
+    from dags_vae_search_tpu import native
+
+    lib = native.load()
+    if lib is not None and rows:
+        import ctypes
+
+        col_ptrs = (ctypes.c_char_p * n)()
+        for i in range(1, n):
+            col_ptrs[i] = buffers[i].ctypes.data_as(ctypes.c_char_p).value
+        lib.decode_edges(
+            col_ptrs, n, rows, adj.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        )
+    else:
+        for i in range(1, n):
+            bits = buffers[i].reshape(rows, i)
+            adj[:, :i, i] = bits - ord("0")
 
     return labels, adj
 
 
 def tensors_to_table(labels: np.ndarray, adj: np.ndarray) -> pa.Table:
-    """Encode (labels[B,N], adj[B,N,N]) into the reference l/e schema."""
+    """Encode (labels[B,N], adj[B,N,N]) into the reference l/e schema.
+
+    Edge columns are built straight from byte buffers (arrow
+    ``StringArray.from_buffers``), skipping per-row Python strings.
+    """
     rows, n = labels.shape
     arrays = {}
     for i in range(n):
         arrays[f"l{i}"] = pa.array(labels[:, i].astype(np.uint16), type=pa.uint16())
-    zero = ord("0")
     for i in range(n):
         if i == 0:
-            strings = [""] * rows
+            data = np.zeros(0, dtype=np.uint8)
         else:
-            bits = (adj[:, :i, i] > 0).astype(np.uint8) + zero
-            buf = bits.astype(np.uint8).tobytes()
-            strings = [
-                buf[r * i : (r + 1) * i].decode("ascii") for r in range(rows)
-            ]
-        arrays[f"e{i}"] = pa.array(strings, type=pa.string())
+            data = np.where(adj[:, :i, i] > 0, ord("1"), ord("0")).astype(
+                np.uint8
+            ).reshape(-1)
+        offsets = (np.arange(rows + 1, dtype=np.int32) * i)
+        arrays[f"e{i}"] = pa.StringArray.from_buffers(
+            rows, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())
+        )
     names = [f"l{i}" for i in range(n)] + [f"e{i}" for i in range(n)]
     return pa.table({k: arrays[k] for k in names}).cast(pyarrow_schema(n))
 
