@@ -162,6 +162,37 @@ def write_dataset(
         part += 1
 
 
+def read_dvae_txt(path: str):
+    """Import legacy D-VAE-format text files: one python-literal
+    ``([[type, in_bits...], ...], y)`` tuple per line
+    (parity with ``bn_from_txt``, ``src/parquet_utils.py:10-30``).
+
+    Returns (labels int32[B, N], adj float32[B, N, N], metrics float64[B]).
+    """
+    import ast
+
+    all_labels, all_rows, metrics = [], [], []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            row, y = ast.literal_eval(line)
+            all_labels.append([v[0] for v in row])
+            all_rows.append([v[1:] for v in row])
+            metrics.append(float(y))
+    n = len(all_labels[0])
+    rows = len(all_labels)
+    labels = np.asarray(all_labels, dtype=np.int32)
+    adj = np.zeros((rows, n, n), dtype=np.float32)
+    for r, row in enumerate(all_rows):
+        for i, in_bits in enumerate(row):
+            for j, bit in enumerate(in_bits):
+                if bit:
+                    adj[r, j, i] = 1.0
+    return labels, adj, np.asarray(metrics, dtype=np.float64)
+
+
 def iter_batches(
     path: str, batch_size: int
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:

@@ -190,6 +190,59 @@ def pace_unwrap(labels: jnp.ndarray, adj: jnp.ndarray) -> DagBatch:
     )
 
 
+def isolate_mask(adj: jnp.ndarray) -> jnp.ndarray:
+    """bool[..., N]: vertices with no in- or out-edges.
+
+    Fixed-shape analogue of ``BaseDag.graph_drop_isolates``
+    (``src/toolkit/base.py:47-59``): slots cannot be removed from a static
+    tensor, so isolates are reported as a mask (used e.g. by the sampler's
+    isolate-tolerant connectivity mode).
+    """
+    return (in_degrees(adj) == 0) & (out_degrees(adj) == 0)
+
+
+def is_connected_ignoring_isolates(adj: jnp.ndarray) -> jnp.ndarray:
+    """Weak connectivity of the non-isolate subgraph (bool[...]).
+
+    The reference's ``accept_isolates=True`` generation mode drops isolates
+    before the connectivity check (``src/toolkit/labeled.py:310-313``).
+    """
+    n = adj.shape[-1]
+    isolates = isolate_mask(adj)
+    sym = jnp.clip(adj + jnp.swapaxes(adj, -1, -2), 0.0, 1.0)
+    # Treat isolates as connected-to-everything so they never break the
+    # reachability of the remaining graph.
+    iso_f = isolates.astype(jnp.float32)
+    sym = jnp.clip(
+        sym + iso_f[..., :, None] + iso_f[..., None, :] + jnp.eye(n), 0.0, 1.0
+    )
+    closure = sym
+    for _ in range(_num_squarings(n + 1)):
+        closure = jnp.matmul(closure, closure, preferred_element_type=jnp.float32)
+        closure = (closure > 0).astype(jnp.float32)
+    return jnp.all(closure[..., 0, :] > 0, axis=-1)
+
+
+def is_valid_pace(labels: jnp.ndarray, adj: jnp.ndarray) -> jnp.ndarray:
+    """Validity of PACE-wrapped graphs (bool[B]).
+
+    Tensor analogue of ``PaceDag.is_valid_graph``
+    (``src/encoders/pace_utils.py:70-117``): exactly one start / input /
+    output vertex, positions consistent (slot order is topological — i.e.
+    strictly-forward edges), plus the labeled-graph invariants.
+    """
+    card = jnp.max(labels) + 1  # only used for range check below
+    del card
+    one_start = jnp.sum((labels == LABEL_START).astype(jnp.int32), axis=-1) == 1
+    one_input = jnp.sum((labels == LABEL_INPUT).astype(jnp.int32), axis=-1) == 1
+    one_output = jnp.sum((labels == LABEL_OUTPUT).astype(jnp.int32), axis=-1) == 1
+    n = adj.shape[-1]
+    lower = jnp.tril(jnp.ones((n, n)))
+    triangular_ok = jnp.all(adj * lower == 0, axis=(-2, -1))
+    labels_ok = jnp.all(labels >= 0, axis=-1)
+    return one_start & one_input & one_output & triangular_ok & labels_ok
+
+
 def is_weakly_connected(adj: jnp.ndarray) -> jnp.ndarray:
     """Weak connectivity per graph (bool[...]) via symmetric closure."""
     n = adj.shape[-1]

@@ -24,6 +24,38 @@ def to_nx(labels: np.ndarray, adj: np.ndarray) -> nx.DiGraph:
     return graph
 
 
+def filter_non_isomorphic(labels: np.ndarray, adj: np.ndarray):
+    """Indices of a pairwise non-isomorphic subset of a graph batch.
+
+    Parity with the legacy generator's dedup pass
+    (``src/graph_generator.py:16-38``).  Quadratic nx check, intended for
+    small eval-side batches; a cheap invariant key (degree sequences +
+    label multiset) prunes most comparisons first.
+    """
+    kept: list = []
+    keys: list = []
+    for idx in range(labels.shape[0]):
+        a = np.asarray(adj[idx])
+        key = (
+            tuple(sorted(np.asarray(labels[idx]).tolist())),
+            tuple(sorted(a.sum(0).astype(int).tolist())),
+            tuple(sorted(a.sum(1).astype(int).tolist())),
+        )
+        duplicate = False
+        for j, other_key in zip(kept, keys):
+            if key != other_key:
+                continue
+            if graph_equals_isomorphic(
+                labels[idx], adj[idx], labels[j], adj[j]
+            ):
+                duplicate = True
+                break
+        if not duplicate:
+            kept.append(idx)
+            keys.append(key)
+    return kept
+
+
 def graph_equals_isomorphic(
     labels_a: np.ndarray,
     adj_a: np.ndarray,

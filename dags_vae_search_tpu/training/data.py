@@ -46,6 +46,31 @@ def train_test_split(
     )
 
 
+def train_test_val_split(
+    corpus: Corpus,
+    test_ratio: float = 0.1,
+    val_ratio: float = 0.1,
+    seed: int = 42,
+):
+    """Three-way seeded split (train, test, val).
+
+    The reference's ``split_dataset`` advertises this but its val branch is
+    inverted and references an undefined path (``src/train_utils.py:43-83``,
+    a catalogued reference bug); this is the working version.
+    """
+    if test_ratio + val_ratio >= 1.0:
+        raise ValueError("test_ratio + val_ratio must be < 1")
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(corpus))
+    n_test = int(len(corpus) * test_ratio)
+    n_val = int(len(corpus) * val_ratio)
+    test_idx = perm[:n_test]
+    val_idx = perm[n_test : n_test + n_val]
+    train_idx = perm[n_test + n_val :]
+    pick = lambda idx: Corpus(corpus.labels[idx], corpus.adj[idx])
+    return pick(train_idx), pick(test_idx), pick(val_idx)
+
+
 def epoch_batches(
     corpus: Corpus,
     batch_size: int,
