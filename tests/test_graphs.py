@@ -179,3 +179,25 @@ def test_nx_bridge_isomorphism():
     assert not nx_bridge.graph_equals_isomorphic(
         labels[0], adj[0], labels[0], np.zeros_like(adj[0])
     )
+
+
+def test_blocked_closure_matches_dense():
+    from dags_vae_search_tpu.ops.reachability import closure_blocked
+
+    rng = np.random.default_rng(0)
+    n = 300
+    batch = 3
+    adj = (rng.random((batch, n, n)) < 0.02).astype(np.float32)
+    adj *= np.triu(np.ones((n, n), dtype=np.float32), k=1)
+    dense = np.asarray(transitive_closure(jnp.asarray(adj)))
+    blocked = np.asarray(closure_blocked(jnp.asarray(adj), tile=128))
+    assert np.array_equal(dense, blocked)
+
+
+def test_blocked_closure_small_passthrough():
+    from dags_vae_search_tpu.ops.reachability import closure_blocked
+
+    _, adj = five_vertex_graph()
+    dense = np.asarray(transitive_closure(jnp.asarray(adj)))
+    blocked = np.asarray(closure_blocked(jnp.asarray(adj), tile=128))
+    assert np.array_equal(dense, blocked)
