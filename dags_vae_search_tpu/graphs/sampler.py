@@ -108,9 +108,16 @@ def sample_er_batch(
     label_cardinality: int,
     label_method: str = "sample",
     require_connected: bool = True,
-    max_rounds: int = 100,
+    max_rounds: int = 200,
+    on_exhaust: str = "raise",
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Host-side batch ER-DAG sampler -> (labels[G,N], adj[G,N,N])."""
+    """Host-side batch ER-DAG sampler -> (labels[G,N], adj[G,N,N]).
+
+    ``on_exhaust``: when the retry budget runs out (connectivity is rare at
+    edge counts near n-1), 'raise' errors; 'partial' returns only the
+    successfully generated graphs — the reference's behavior, which
+    log-and-continues with a short batch (``src/encoders/utils.py:85-92``).
+    """
     n = num_vertices
     if num_edges < n - 1:
         raise ValueError(
@@ -138,10 +145,12 @@ def sample_er_batch(
         accepted = idx[ok]
         out_adj[accepted] = adj[ok]
         need[accepted] = False
-    if need.any():
-        raise RuntimeError("max_rounds exceeded with no connected DAG generated")
-
     labels = sample_labels_np(rng, num_graphs, n, label_cardinality, label_method)
+    if need.any():
+        if on_exhaust == "partial":
+            keep = ~need
+            return labels[keep], out_adj[keep]
+        raise RuntimeError("max_rounds exceeded with no connected DAG generated")
     return labels, out_adj
 
 
@@ -170,6 +179,7 @@ def generate_corpus(
             edge_count,
             label_cardinality,
             label_method,
+            on_exhaust="partial",
         )
         all_labels.append(labels)
         all_adj.append(adj)
