@@ -97,6 +97,11 @@ def transitive_closure(adj: jnp.ndarray) -> jnp.ndarray:
     and batched.
 
     adj: float[..., N, N] -> float[..., N, N] with entries in {0, 1}.
+
+    Correct for arbitrary digraphs (used for acyclicity checks on move
+    candidates).  For canonical upper-triangular DAGs above ~256 vertices,
+    ``ops.reachability.closure_blocked`` is the cheaper choice (no log
+    factor); ``attention_allowed`` dispatches there automatically.
     """
     n = adj.shape[-1]
     closure = (adj > 0).astype(jnp.float32)
@@ -125,10 +130,16 @@ def attention_allowed(
     the reference's padded-block handling (``pace.py:1439-1444``).
 
     adj: float[..., N, N]; n_valid: int[...] or None (all slots valid).
-    Returns bool[..., N, N].
+    Returns bool[..., N, N].  Inputs are canonical (strictly
+    upper-triangular) DAG tensors; large graphs use the blocked closure.
     """
     n = adj.shape[-1]
-    reach = transitive_closure(adj) > 0
+    if n > 256:
+        from dags_vae_search_tpu.ops.reachability import closure_blocked
+
+        reach = closure_blocked(adj) > 0
+    else:
+        reach = transitive_closure(adj) > 0
     eye = jnp.eye(n, dtype=bool)
     allowed = jnp.swapaxes(reach, -1, -2) | eye
     if n_valid is None:

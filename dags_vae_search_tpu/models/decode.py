@@ -57,16 +57,28 @@ def sample_decode(
     labels0 = jnp.full((batch, n), LABEL_OUTPUT, dtype=jnp.int32)
     labels0 = labels0.at[:, 0].set(LABEL_START).at[:, 1].set(LABEL_INPUT)
     adj0 = jnp.zeros((batch, n, n), dtype=jnp.float32).at[:, 0, 1].set(1.0)
+    # reach[b, v, w] = path v -> w among built slots; maintained
+    # incrementally (new node's ancestors = parents + their ancestors).
+    reach0 = adj0
     finished0 = jnp.zeros((batch,), dtype=bool)
 
     slot = jnp.arange(n)
+    eye = jnp.eye(n, dtype=bool)
 
     def step(carry, idx):
-        labels, adj, finished, key = carry
+        labels, adj, reach, finished, key = carry
         key, k_type, k_edge = jax.random.split(key, 3)
 
+        # Attention mask from the carried closure: query q attends key k iff
+        # path k -> q or q == k, restricted to built slots; padding block
+        # attends itself (graphs.dag.attention_allowed semantics).
+        built = (slot < idx)[None, :]
+        q_real, k_real = built[:, :, None], built[:, None, :]
+        allowed_core = jnp.swapaxes(reach > 0, -1, -2) | eye
+        allowed = (allowed_core & q_real & k_real) | ((~q_real) & (~k_real))
+
         type_logits, edge_probs = model.apply(
-            variables, z, labels, adj, idx, method=PaceVAE.decode_step
+            variables, z, labels, adj, allowed, idx, method=PaceVAE.decode_step
         )
 
         sampled = jax.random.categorical(k_type, type_logits, axis=-1)
@@ -83,15 +95,25 @@ def sample_decode(
         sinks = (jnp.sum(adj, axis=-1) == 0) & (slot < idx)[None, :]
         new_col = jnp.where(is_output[:, None], sinks, sampled_edges)
         new_col = jnp.where(finished[:, None], False, new_col)
-        adj = jax.lax.dynamic_update_index_in_dim(
-            adj, new_col.astype(jnp.float32), idx, axis=2
+        col_f = new_col.astype(jnp.float32)
+        adj = jax.lax.dynamic_update_index_in_dim(adj, col_f, idx, axis=2)
+
+        # Incremental closure: ancestors(idx) = parents U ancestors(parents).
+        anc = jnp.clip(
+            col_f
+            + jnp.einsum(
+                "bvp,bp->bv", reach, col_f, preferred_element_type=jnp.float32
+            ),
+            0.0,
+            1.0,
         )
+        reach = jax.lax.dynamic_update_index_in_dim(reach, anc, idx, axis=2)
 
         finished = finished | is_output
-        return (labels, adj, finished, key), None
+        return (labels, adj, reach, finished, key), None
 
-    (labels, adj, finished, _), _ = jax.lax.scan(
-        step, (labels0, adj0, finished0, rng), jnp.arange(2, n)
+    (labels, adj, _, finished, _), _ = jax.lax.scan(
+        step, (labels0, adj0, reach0, finished0, rng), jnp.arange(2, n)
     )
     return labels, adj, finished
 

@@ -197,12 +197,15 @@ class PaceVAE(nn.Module):
         z: jnp.ndarray,
         labels: jnp.ndarray,  # int32[B, N] current PACE labels (pad=OUTPUT)
         adj: jnp.ndarray,  # float32[B, N, N] current PACE adjacency
+        allowed: jnp.ndarray,  # bool[B, N, N] attention mask for this step
         idx: jnp.ndarray,  # int32 — slot being generated (2..N-1)
     ):
         """One sampling-decode step: (type logits [B, L], parent-edge probs
         [B, N] indexed by parent slot).  Deterministic submodules (decode is
-        an eval-mode operation in the reference, ``main.py:228``)."""
-        allowed = attention_allowed(adj, n_valid=idx)
+        an eval-mode operation in the reference, ``main.py:228``).  The
+        attention mask is maintained incrementally by the caller (each new
+        node's ancestor set = its parents + their ancestors — O(N^2) per
+        step instead of a fresh O(N^3 log N) closure)."""
         out = self.decoder_output(z, labels, adj, allowed, deterministic=True)
         h_new = jax.lax.dynamic_index_in_dim(out, idx - 1, axis=1, keepdims=False)
         type_logits = self._add_node(h_new)  # [B, L]
