@@ -164,6 +164,63 @@ class Trainer:
         opt_state[1] = inner._replace(hyperparams=hyperparams)
         return state._replace(opt_state=tuple(opt_state))
 
+    def fit_resilient(
+        self,
+        state: TrainState,
+        corpus: data_lib.Corpus,
+        checkpoint_dir: str,
+        max_restarts: int = 3,
+        epochs: Optional[int] = None,
+        start_epoch: int = 1,
+        log: Callable[[str], None] = print,
+    ) -> tuple:
+        """Crash-resilient fit: per-epoch checkpoints; on failure, restore
+        the last epoch's params and continue (optimizer moments restart —
+        documented elasticity semantics).  The reference has no recovery
+        mechanism at all (SURVEY.md §5: "nothing restarts training")."""
+        from dags_vae_search_tpu.training import checkpoint as ckpt
+
+        total = epochs if epochs is not None else self.config.epochs
+        history: List[Dict] = []
+        restarts = 0
+
+        def save(epoch, st):
+            ckpt.save_checkpoint(checkpoint_dir, epoch, {"params": st.params})
+
+        while len(history) < total:
+            begin = start_epoch + len(history)
+            try:
+                state, part = self.fit(
+                    state,
+                    corpus,
+                    epochs=total - len(history),
+                    start_epoch=begin,
+                    log=log,
+                    checkpoint_fn=save,
+                )
+                history.extend(part)
+            except Exception as exc:  # noqa: BLE001 — elastic boundary
+                restarts += 1
+                if restarts > max_restarts:
+                    raise
+                latest = ckpt.latest_epoch(checkpoint_dir)
+                log(
+                    f"fit_resilient: restart {restarts}/{max_restarts} after "
+                    f"{type(exc).__name__}: {exc}; resuming from epoch {latest}"
+                )
+                if latest is not None and latest >= begin:
+                    params = ckpt.restore_params(
+                        checkpoint_dir, latest, state.params
+                    )
+                    state = state._replace(
+                        params=params, opt_state=self.optimizer.init(params)
+                    )
+                    history.extend(
+                        {"epoch": e, "recovered": True}
+                        for e in range(begin, latest + 1)
+                    )
+        return state, history
+
     def fit(
         self,
         state: TrainState,

@@ -141,3 +141,51 @@ def test_data_parallel_training_on_cpu_mesh():
     state, history = trainer.fit(state, corpus, log=lambda s: None)
     assert len(history) == 2
     assert np.isfinite(history[-1]["loss_per_graph"])
+
+
+def test_fit_resilient_recovers_from_crash(tmp_path):
+    corpus = tiny_corpus(32)
+    model = tiny_model()
+    config = TrainConfig(batch_size=16, epochs=4, learning_rate=1e-3, log_every=0)
+    trainer = Trainer(model, config)
+    state = trainer.init_state(
+        jax.random.PRNGKey(0), corpus.labels[:2], corpus.adj[:2]
+    )
+
+    crashes = {"left": 2}
+    original_fit = trainer.fit
+
+    def flaky_fit(*args, **kwargs):
+        if crashes["left"] > 0:
+            crashes["left"] -= 1
+            # run one epoch (checkpointing it), then die
+            st, hist = original_fit(
+                *args, **{**kwargs, "epochs": 1}
+            )
+            raise RuntimeError("injected failure")
+        return original_fit(*args, **kwargs)
+
+    trainer.fit = flaky_fit
+    state, history = trainer.fit_resilient(
+        state, corpus, str(tmp_path), max_restarts=3, log=lambda s: None
+    )
+    assert len(history) == 4
+    assert any(h.get("recovered") for h in history)
+
+
+def test_fit_resilient_gives_up(tmp_path):
+    corpus = tiny_corpus(32)
+    model = tiny_model()
+    trainer = Trainer(model, TrainConfig(batch_size=16, epochs=2, log_every=0))
+    state = trainer.init_state(
+        jax.random.PRNGKey(0), corpus.labels[:2], corpus.adj[:2]
+    )
+
+    def always_fail(*args, **kwargs):
+        raise RuntimeError("boom")
+
+    trainer.fit = always_fail
+    with pytest.raises(RuntimeError):
+        trainer.fit_resilient(
+            state, corpus, str(tmp_path), max_restarts=2, log=lambda s: None
+        )
