@@ -84,6 +84,10 @@ def contingency_counts_pallas(
     u = codes_u.shape[0]
     s = q_cap * r_max
     s_pad = _round_up(s, 128)
+    # Chunk no larger than the (sublane-aligned) unique-row count — heavily
+    # compressed datasets (asia: 45 rows) would otherwise burn a whole
+    # 512-row tile on padding.
+    u_chunk = min(u_chunk, _round_up(u, 8))
     u_pad = _round_up(u, u_chunk)
 
     strides, q = bic_xla.parent_config_strides(adj, cards)

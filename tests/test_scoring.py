@@ -165,3 +165,21 @@ def test_true_structure_beats_perturbations():
     true_score = scorer.score_one(adj)
     rand_scores = np.asarray(scorer.score(jnp.asarray(rand)))
     assert true_score >= np.percentile(rand_scores, 90)
+
+
+def test_family_table_matches_direct_scorer(asia_dataset):
+    from dags_vae_search_tpu.scoring.family_table import FamilyTableScorer
+    from dags_vae_search_tpu.graphs import sampler
+
+    base = BicScorer(asia_dataset, max_parents=4)
+    table = FamilyTableScorer(asia_dataset, max_parents=4)
+    rng = np.random.default_rng(9)
+    _, cands = sampler.sample_er_batch(rng, 64, 8, 9, 8)
+    direct = np.asarray(base.score(jnp.asarray(cands)))
+    gathered = np.asarray(table.score(jnp.asarray(cands)))
+    finite = np.isfinite(direct)
+    np.testing.assert_allclose(gathered[finite], direct[finite], rtol=2e-5, atol=0.02)
+    assert np.array_equal(np.isfinite(gathered), finite)
+    # golden graph too
+    g = np.asarray(table.score(jnp.asarray(asia_golden_adj())[None]))[0]
+    assert g == pytest.approx(GOLDEN_ASIA_BIC, abs=0.05)
