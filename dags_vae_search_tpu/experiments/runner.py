@@ -318,11 +318,25 @@ class ExperimentRunner:
         cfg = self.config.search
         result_payload = {}
 
+        # For small nets the family table makes move scoring a pure gather.
+        n_vars = self.scoring_dataset().num_variables
+        if n_vars <= 16:
+            from dags_vae_search_tpu.scoring.family_table import (
+                FamilyTableScorer,
+            )
+
+            fast_scorer = FamilyTableScorer(
+                self.scoring_dataset(),
+                max_parents=cfg.max_parents,
+                base_scorer=scorer,
+            )
+        else:
+            fast_scorer = scorer
+
         # Structure-space: batched greedy hill climbing (certified local opt).
         t0 = time.time()
         hc = hillclimb.hill_climb(
-            scorer, self.scoring_dataset().num_variables,
-            max_iters=cfg.hill_climb_iters,
+            fast_scorer, n_vars, max_iters=cfg.hill_climb_iters,
         )
         result_payload["hill_climb"] = {
             "best_bic": float(scorer.score_exact(hc.best_adj[None])[0]),
@@ -338,7 +352,7 @@ class ExperimentRunner:
             res = islands.island_cem_search(
                 self.model,
                 {"params": state.params},
-                scorer,
+                fast_scorer,
                 jax.random.PRNGKey(self.config.seed + 2),
                 num_islands=cfg.islands,
                 population=cfg.island_population,
