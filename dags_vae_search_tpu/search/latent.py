@@ -45,11 +45,22 @@ def decode_and_score(
     z: jnp.ndarray,
     rng: jax.Array,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Scores float32[B] (-inf for invalid decodes), labels, adj."""
+    """Scores float32[B] (-inf for invalid decodes), labels, adj.
+
+    A scoreable candidate must assign every dataset column exactly once —
+    the reference asserts the same before its R call (``bnlearn.py:32-35``).
+    Decodes with duplicate/missing labels would alias vertices under the
+    label permutation and score a bogus merged structure, so they get -inf.
+    """
     recon, valid = decode_to_labeled(model, variables, z, rng)
+    n = recon.labels.shape[-1]
+    label_counts = jnp.sum(
+        jax.nn.one_hot(recon.labels, n, dtype=jnp.float32), axis=1
+    )
+    is_permutation = jnp.all(label_counts == 1.0, axis=-1)
     relabeled = relabel_to_columns(recon.labels, recon.adj)
     scores = scorer.score(relabeled)
-    scores = jnp.where(valid, scores, -jnp.inf)
+    scores = jnp.where(valid & is_permutation, scores, -jnp.inf)
     return scores, recon.labels, recon.adj
 
 

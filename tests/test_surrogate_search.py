@@ -214,3 +214,22 @@ def test_exact_search_asia_beats_hill_climb(asia_scorer):
     res = exact.exact_search(asia_scorer, 8, max_parents=4)
     hc = hillclimb.hill_climb(asia_scorer, 8, max_iters=60)
     assert res.best_score >= hc.best_score - 1e-3
+
+
+def test_decode_and_score_rejects_non_permutation_labels():
+    # Finite scores must imply the decoded labels form a permutation of the
+    # dataset columns (duplicate labels alias vertices under relabeling and
+    # can fake super-optimal scores via self-loops).
+    model, variables = _init_tiny()
+    rng = np.random.default_rng(12)
+    cards = np.full(5, 2, dtype=np.int32)
+    dataset = catalog.simulate_dataset(rng, np.zeros((5, 5), np.float32), cards, 300)
+    scorer = BicScorer(dataset)
+    z = jnp.asarray(rng.normal(size=(64, 8)).astype(np.float32))
+    scores, labels, adj = latent.decode_and_score(
+        model, variables, scorer, z, jax.random.PRNGKey(0)
+    )
+    scores = np.asarray(scores)
+    labels = np.asarray(labels)
+    for b in np.flatnonzero(np.isfinite(scores)):
+        assert sorted(labels[b].tolist()) == list(range(5))
