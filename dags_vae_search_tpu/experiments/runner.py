@@ -333,6 +333,20 @@ class ExperimentRunner:
         else:
             fast_scorer = scorer
 
+        # Certified optimum via subset DP when tractable.
+        if n_vars <= 18:
+            from dags_vae_search_tpu.search import exact
+
+            t0 = time.time()
+            opt = exact.exact_search(
+                scorer, n_vars, max_parents=min(cfg.max_parents or 4, 6)
+            )
+            result_payload["exact_optimum"] = {
+                "best_bic": float(scorer.score_exact(opt.best_adj[None])[0]),
+                "families": opt.num_families,
+                "seconds": time.time() - t0,
+            }
+
         # Structure-space: batched greedy hill climbing (certified local opt).
         t0 = time.time()
         hc = hillclimb.hill_climb(
@@ -345,9 +359,29 @@ class ExperimentRunner:
             "seconds": time.time() - t0,
         }
 
-        # Latent-space: island CEM through the trained VAE decoder.
+        # Latent-space: island CEM through the trained VAE decoder, seeded
+        # from encoded corpus latents (the VAE's latent marginal is far from
+        # N(0,1) at beta=0.005/eps=0.01, so prior samples decode to junk).
         try:
             trainer, state, epoch = self.load_state(epoch)
+            from dags_vae_search_tpu.models.pace_vae import PaceVAE
+
+            test_corpus = self._load_corpus("test")
+            import jax.numpy as jnp_
+
+            seed_n = min(2048, len(test_corpus))
+            mus, _ = self.model.apply(
+                {"params": state.params},
+                jnp_.asarray(test_corpus.labels[:seed_n]),
+                jnp_.asarray(test_corpus.adj[:seed_n]),
+                method=PaceVAE.encode,
+            )
+            pick = np.random.default_rng(self.config.seed).choice(
+                seed_n, size=cfg.islands, replace=False
+            )
+            init_means = mus[jnp_.asarray(pick)]
+            init_sigma = float(jnp_.mean(jnp_.std(mus, axis=0)))
+
             t0 = time.time()
             res = islands.island_cem_search(
                 self.model,
@@ -357,6 +391,9 @@ class ExperimentRunner:
                 num_islands=cfg.islands,
                 population=cfg.island_population,
                 iters=cfg.island_iters,
+                init_means=init_means,
+                init_sigma=init_sigma,
+                sigma_floor=init_sigma * 0.05,
             )
             latent_payload = {
                 "best_bic": res.best_score,
