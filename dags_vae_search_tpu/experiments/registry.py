@@ -107,18 +107,19 @@ def build_registry() -> Dict[str, ExperimentConfig]:
     for name in ("hepar2", "win95pts"):
         registry[name] = _catalog_experiment(
             name,
-            corpus_batch=256,
-            steps=24,
+            corpus_batch=32,
+            steps=16,
             train=TrainConfig(batch_size=64, epochs=40, learning_rate=1e-4),
             model=ModelConfig(latent_size=64),
         )
 
-    # very large nets (config 5) — density cap 0.05; blocked closures.
+    # very large nets (config 5) — density cap 0.05; blocked closures,
+    # bit-packed corpora. Corpus sizes are demonstration-scale.
     for name in ("andes", "link"):
         registry[name] = _catalog_experiment(
             name,
-            corpus_batch=64,
-            steps=24,
+            corpus_batch=8,
+            steps=12,
             train=TrainConfig(batch_size=16, epochs=20, learning_rate=1e-4),
             model=ModelConfig(latent_size=128),
         )

@@ -136,7 +136,7 @@ class ExperimentRunner:
         state = trainer.init_state(
             jax.random.PRNGKey(self.config.seed),
             corpus.labels[:2],
-            corpus.adj[:2],
+            corpus.dense_batch(np.arange(2)),
         )
         params = ckpt.restore_params(ckpt_dir, epoch, state.params)
         return trainer, state._replace(params=params), epoch
@@ -197,7 +197,7 @@ class ExperimentRunner:
         state = trainer.init_state(
             jax.random.PRNGKey(self.config.seed),
             corpus.labels[:2],
-            corpus.adj[:2],
+            corpus.dense_batch(np.arange(2)),
         )
         ckpt_dir = self.path("checkpoints")
         start_epoch = 1
@@ -263,7 +263,7 @@ class ExperimentRunner:
             {"params": state.params},
             self.scorer(),
             corpus.labels[:rows],
-            corpus.adj[:rows],
+            corpus.dense_batch(np.arange(rows)),
         )
         sur_dataset.write_predictor_parquet(
             self.path("predictor_dataset"), vectors, targets
@@ -373,7 +373,7 @@ class ExperimentRunner:
             mus, _ = self.model.apply(
                 {"params": state.params},
                 jnp_.asarray(test_corpus.labels[:seed_n]),
-                jnp_.asarray(test_corpus.adj[:seed_n]),
+                jnp_.asarray(test_corpus.dense_batch(np.arange(seed_n))),
                 method=PaceVAE.encode,
             )
             pick = np.random.default_rng(self.config.seed).choice(
@@ -437,7 +437,7 @@ class ExperimentRunner:
         variables = {"params": state.params}
         corpus = self._load_corpus("test")
         lb = jnp.asarray(corpus.labels[:1])
-        ad = jnp.asarray(corpus.adj[:1])
+        ad = jnp.asarray(corpus.dense_batch(np.arange(1)))
 
         mu, _ = self.model.apply(variables, lb, ad, method=PaceVAE.encode)
         scorer = self.scorer()

@@ -18,15 +18,44 @@ from dags_vae_search_tpu.graphs import codec
 
 
 class Corpus(NamedTuple):
+    """Dense or bit-packed corpus.
+
+    ``adj`` is float32[R, N, N] when ``packed_bits`` is None; otherwise
+    ``packed_bits`` holds uint8[R, N, ceil(N/8)] (np.packbits rows) and
+    ``adj`` is empty — a link-scale (n=724) graph costs 66 KB packed vs
+    2.1 MB dense, so 100k-graph corpora stay in host RAM.
+    """
+
     labels: np.ndarray  # int32[R, N]
-    adj: np.ndarray  # float32[R, N, N]
+    adj: np.ndarray  # float32[R, N, N] (dense mode) or empty
+    packed_bits: np.ndarray | None = None  # uint8[R, N, ceil(N/8)]
 
     def __len__(self) -> int:
         return self.labels.shape[0]
 
+    @property
+    def num_vertices(self) -> int:
+        return self.labels.shape[1]
 
-def load_corpus(path: str) -> Corpus:
+    def dense_batch(self, idx: np.ndarray) -> np.ndarray:
+        """Materialize adjacency rows (always dense float32)."""
+        if self.packed_bits is None:
+            return self.adj[idx]
+        n = self.num_vertices
+        bits = np.unpackbits(self.packed_bits[idx], axis=-1, count=n)
+        return bits.astype(np.float32)
+
+
+def pack_corpus(labels: np.ndarray, adj: np.ndarray) -> Corpus:
+    packed = np.packbits((adj > 0).astype(np.uint8), axis=-1)
+    return Corpus(labels=labels, adj=np.zeros((0,)), packed_bits=packed)
+
+
+def load_corpus(path: str, pack_above: int = 64) -> Corpus:
+    """Load a parquet corpus; bit-pack adjacency when n > pack_above."""
     labels, adj = codec.read_dataset(path)
+    if labels.shape[1] > pack_above:
+        return pack_corpus(labels, adj)
     return Corpus(labels=labels, adj=adj)
 
 
@@ -40,10 +69,14 @@ def train_test_split(
     perm = rng.permutation(len(corpus))
     n_test = int(len(corpus) * test_ratio)
     test_idx, train_idx = perm[:n_test], perm[n_test:]
-    return (
-        Corpus(corpus.labels[train_idx], corpus.adj[train_idx]),
-        Corpus(corpus.labels[test_idx], corpus.adj[test_idx]),
-    )
+    def pick(idx):
+        if corpus.packed_bits is not None:
+            return Corpus(
+                corpus.labels[idx], corpus.adj, corpus.packed_bits[idx]
+            )
+        return Corpus(corpus.labels[idx], corpus.adj[idx])
+
+    return pick(train_idx), pick(test_idx)
 
 
 def train_test_val_split(
@@ -67,7 +100,12 @@ def train_test_val_split(
     test_idx = perm[:n_test]
     val_idx = perm[n_test : n_test + n_val]
     train_idx = perm[n_test + n_val :]
-    pick = lambda idx: Corpus(corpus.labels[idx], corpus.adj[idx])
+    def pick(idx):
+        if corpus.packed_bits is not None:
+            return Corpus(
+                corpus.labels[idx], corpus.adj, corpus.packed_bits[idx]
+            )
+        return Corpus(corpus.labels[idx], corpus.adj[idx])
     return pick(train_idx), pick(test_idx), pick(val_idx)
 
 
@@ -83,4 +121,4 @@ def epoch_batches(
     limit = (len(corpus) // batch_size) * batch_size if drop_last else len(corpus)
     for start in range(0, limit - batch_size + 1, batch_size):
         idx = order[start : start + batch_size]
-        yield corpus.labels[idx], corpus.adj[idx]
+        yield corpus.labels[idx], corpus.dense_batch(idx)

@@ -105,7 +105,7 @@ def evaluate_corpus(
         if max_batches is not None and batches >= max_batches:
             break
         lb = jnp.asarray(corpus.labels[start : start + batch_size])
-        ad = jnp.asarray(corpus.adj[start : start + batch_size])
+        ad = jnp.asarray(corpus.dense_batch(np.arange(start, start + batch_size)))
         m = reconstruction_metrics(
             model,
             variables,

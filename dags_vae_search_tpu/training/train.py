@@ -238,7 +238,9 @@ class Trainer:
         plateau = PlateauState(float("inf"), 0, config.learning_rate)
         history: List[Dict] = []
         time_start = time.time()
-        device_loop = config.steps_per_call > 1
+        device_loop = (
+            config.steps_per_call > 1 and corpus.packed_bits is None
+        )
 
         if device_loop:
             if self.mesh is not None:

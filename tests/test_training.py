@@ -189,3 +189,23 @@ def test_fit_resilient_gives_up(tmp_path):
         trainer.fit_resilient(
             state, corpus, str(tmp_path), max_restarts=2, log=lambda s: None
         )
+
+
+def test_packed_corpus_roundtrip_and_training():
+    rng = np.random.default_rng(7)
+    labels, adj = sampler.sample_er_batch(rng, 32, 5, 6, 5)
+    corpus = data_lib.pack_corpus(labels, adj)
+    assert corpus.packed_bits is not None
+    dense = corpus.dense_batch(np.arange(32))
+    assert np.array_equal(dense, adj)
+    train, test = data_lib.train_test_split(corpus, 0.25, seed=0)
+    assert train.packed_bits is not None and len(test) == 8
+    model = tiny_model()
+    trainer = Trainer(model, TrainConfig(batch_size=8, epochs=1, log_every=0,
+                                         steps_per_call=4))
+    state = trainer.init_state(
+        jax.random.PRNGKey(0), corpus.labels[:2], corpus.dense_batch(np.arange(2))
+    )
+    # packed corpora must silently use the per-step path
+    state, history = trainer.fit(state, train, log=lambda s: None)
+    assert np.isfinite(history[-1]["loss_per_graph"])
