@@ -97,7 +97,7 @@ def build_registry() -> Dict[str, ExperimentConfig]:
     for name in ("child", "alarm"):
         registry[name] = _catalog_experiment(
             name,
-            corpus_batch=512,
+            corpus_batch=64,
             steps=20,
             train=TrainConfig(batch_size=64, epochs=60, learning_rate=1e-4),
             model=ModelConfig(latent_size=64),

@@ -180,8 +180,8 @@ class ExperimentRunner:
         train, test = data_lib.train_test_split(
             corpus, self.config.corpus.test_ratio, self.config.seed
         )
-        codec.write_dataset(self.path("train"), train.labels, train.adj)
-        codec.write_dataset(self.path("test"), test.labels, test.adj)
+        codec.write_corpus(self.path("train"), train)
+        codec.write_corpus(self.path("test"), test)
         self.report("split", {"train_rows": len(train), "test_rows": len(test)})
 
     def stage_train(

@@ -162,6 +162,20 @@ def write_dataset(
         part += 1
 
 
+def write_corpus(path: str, corpus, rows_per_part: int = 50_000) -> None:
+    """Write a (possibly bit-packed) training Corpus as parquet parts,
+    materializing dense adjacency one part at a time."""
+    os.makedirs(path, exist_ok=True)
+    rows = len(corpus)
+    part = 0
+    for start in range(0, rows, rows_per_part):
+        stop = min(start + rows_per_part, rows)
+        idx = np.arange(start, stop)
+        table = tensors_to_table(corpus.labels[idx], corpus.dense_batch(idx))
+        pq.write_table(table, os.path.join(path, f"part-{part:05d}.parquet"))
+        part += 1
+
+
 def read_dvae_txt(path: str):
     """Import legacy D-VAE-format text files: one python-literal
     ``([[type, in_bits...], ...], y)`` tuple per line
