@@ -154,6 +154,50 @@ def sample_er_batch(
     return labels, out_adj
 
 
+def sample_connected_dags(
+    rng: np.random.Generator,
+    num_graphs: int,
+    num_vertices: int,
+    num_edges: int,
+    label_cardinality: int,
+    label_method: str = "sample",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Constructive connected-DAG sampler for large n.
+
+    Rejection sampling of connected ER graphs is hopeless near the
+    connectivity threshold for large n (P(connected) vanishes, and each
+    rejection round costs an O(n^3) closure).  Instead: a uniform random
+    attachment spanning tree (vertex i > 0 picks one parent among 0..i-1 —
+    weak connectivity by construction) plus ``num_edges - (n-1)`` extra
+    uniform forward edges.  The slot order remains topological.
+    """
+    n = num_vertices
+    if num_edges < n - 1:
+        raise ValueError(f"need at least {n - 1} edges, got {num_edges}")
+    rows, cols = _pair_indices(n)
+    num_pairs = rows.shape[0]
+
+    adj = np.zeros((num_graphs, n, n), dtype=np.float32)
+    gi = np.arange(num_graphs)
+    # spanning tree: parent[i] ~ U{0..i-1}
+    for i in range(1, n):
+        parents = rng.integers(0, i, size=num_graphs)
+        adj[gi, parents, i] = 1.0
+    # extra edges among the remaining pairs, per graph
+    extra = num_edges - (n - 1)
+    if extra > 0:
+        keys = rng.random((num_graphs, num_pairs))
+        # forbid already-present tree edges by pushing their keys above 1
+        present = adj[:, rows, cols] > 0
+        keys = keys + present * 2.0
+        chosen = np.argpartition(keys, extra - 1, axis=1)[:, :extra]
+        adj[
+            np.repeat(gi, extra), rows[chosen].ravel(), cols[chosen].ravel()
+        ] = 1.0
+    labels = sample_labels_np(rng, num_graphs, n, label_cardinality, label_method)
+    return labels, adj
+
+
 def generate_corpus(
     rng: np.random.Generator,
     num_vertices: int,
@@ -172,15 +216,26 @@ def generate_corpus(
     schedule = edge_count_schedule(num_vertices, density_limit, steps_limit)
     all_labels, all_adj = [], []
     for edge_count, num_batches in schedule:
-        labels, adj = sample_er_batch(
-            rng,
-            num_batches * batch_size,
-            num_vertices,
-            edge_count,
-            label_cardinality,
-            label_method,
-            on_exhaust="partial",
-        )
+        if num_vertices > 64:
+            # rejection is intractable at this scale — constructive sampler.
+            labels, adj = sample_connected_dags(
+                rng,
+                num_batches * batch_size,
+                num_vertices,
+                edge_count,
+                label_cardinality,
+                label_method,
+            )
+        else:
+            labels, adj = sample_er_batch(
+                rng,
+                num_batches * batch_size,
+                num_vertices,
+                edge_count,
+                label_cardinality,
+                label_method,
+                on_exhaust="partial",
+            )
         all_labels.append(labels)
         all_adj.append(adj)
     return np.concatenate(all_labels), np.concatenate(all_adj)

@@ -201,3 +201,11 @@ def test_blocked_closure_small_passthrough():
     dense = np.asarray(transitive_closure(jnp.asarray(adj)))
     blocked = np.asarray(closure_blocked(jnp.asarray(adj), tile=128))
     assert np.array_equal(dense, blocked)
+
+
+def test_constructive_connected_sampler():
+    rng = np.random.default_rng(3)
+    labels, adj = sampler.sample_connected_dags(rng, 16, 40, 60, 40)
+    assert np.all(np.asarray(num_edges(jnp.asarray(adj))) == 60)
+    assert np.all(np.asarray(is_weakly_connected(jnp.asarray(adj))))
+    assert bool(np.all(is_valid_labeled(jnp.asarray(labels), jnp.asarray(adj), 40)))
