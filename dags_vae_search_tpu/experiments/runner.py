@@ -369,6 +369,8 @@ class ExperimentRunner:
             test_corpus = self._load_corpus("test")
             import jax.numpy as jnp_
 
+            from dags_vae_search_tpu.scoring.bic import relabel_to_columns
+
             seed_n = min(2048, len(test_corpus))
             mus, _ = self.model.apply(
                 {"params": state.params},
@@ -402,8 +404,6 @@ class ExperimentRunner:
                 "epoch": epoch,
             }
             if np.isfinite(res.best_score):
-                from dags_vae_search_tpu.scoring.bic import relabel_to_columns
-
                 rel = relabel_to_columns(
                     jnp.asarray(res.best_labels)[None],
                     jnp.asarray(res.best_adj)[None],
@@ -412,6 +412,36 @@ class ExperimentRunner:
                     scorer.score_exact(np.asarray(rel))[0]
                 )
             result_payload["island_cem"] = latent_payload
+
+            # Hybrid: local latent refinement around the hill-climb winner.
+            from dags_vae_search_tpu.search import latent as latent_mod
+
+            anchor_labels, anchor_adj = latent_mod.column_adj_to_labeled(
+                hc.best_adj
+            )
+            t0 = time.time()
+            refined = latent_mod.refine_search(
+                self.model,
+                {"params": state.params},
+                fast_scorer,
+                jnp_.asarray(anchor_labels)[None],
+                jnp_.asarray(anchor_adj)[None],
+                jax.random.PRNGKey(self.config.seed + 3),
+            )
+            refined_payload = {
+                "best_bic": refined.best_score,
+                "evals": refined.num_evals,
+                "seconds": time.time() - t0,
+            }
+            if np.isfinite(refined.best_score):
+                rel = relabel_to_columns(
+                    jnp_.asarray(refined.best_labels)[None],
+                    jnp_.asarray(refined.best_adj)[None],
+                )
+                refined_payload["best_bic_exact"] = float(
+                    scorer.score_exact(np.asarray(rel))[0]
+                )
+            result_payload["latent_refined"] = refined_payload
         except FileNotFoundError:
             result_payload["island_cem"] = "skipped (no checkpoint)"
 

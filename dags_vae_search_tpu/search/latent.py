@@ -144,6 +144,77 @@ def cem_search(
     return best._replace(num_evals=iters * population, history=history)
 
 
+def column_adj_to_labeled(adj: np.ndarray):
+    """Column-space DAG -> (labels, slot-indexed adj) for encoding.
+
+    The scorer works in dataset-column space; the VAE works on
+    topologically-indexed labeled graphs.  Topologically sort the columns
+    and carry the column identity as the vertex label (host-side, small).
+    """
+    adj = np.asarray(adj)
+    n = adj.shape[0]
+    indeg = adj.sum(0).copy()
+    order = []
+    ready = [v for v in range(n) if indeg[v] == 0]
+    while ready:
+        v = ready.pop(0)
+        order.append(v)
+        for w in np.flatnonzero(adj[v] > 0):
+            indeg[w] -= 1
+            if indeg[w] == 0:
+                ready.append(int(w))
+    if len(order) != n:
+        raise ValueError("adjacency is not a DAG")
+    order = np.asarray(order)
+    labels = order.astype(np.int32)
+    sorted_adj = adj[np.ix_(order, order)].astype(np.float32)
+    return labels, sorted_adj
+
+
+def refine_search(
+    model: PaceVAE,
+    variables,
+    scorer: BicScorer,
+    anchors_labels: jnp.ndarray,  # int32[A, n] labeled anchor graphs
+    anchors_adj: jnp.ndarray,  # float32[A, n, n]
+    key: jax.Array,
+    iters: int = 15,
+    population: int = 512,
+    sigma_scale: float = 0.25,
+) -> SearchResult:
+    """Local latent refinement around incumbent structures.
+
+    Encodes the anchors (e.g. hill-climb winners, best corpus graphs) and
+    runs CEM centered on each anchor latent with a small initial sigma —
+    the hybrid that couples discrete search with the learned latent space.
+    """
+    mus, _ = model.apply(
+        variables, anchors_labels, anchors_adj, method=PaceVAE.encode
+    )
+    spread = float(jnp.mean(jnp.std(mus, axis=0))) if mus.shape[0] > 1 else 1.0
+    best = None
+    history = []
+    evals = 0
+    per_anchor = max(population // max(mus.shape[0], 1), 16)
+    for it in range(iters):
+        key, k_z, k_d = jax.random.split(key, 3)
+        noise = jax.random.normal(k_z, (mus.shape[0], per_anchor, mus.shape[1]))
+        z = (mus[:, None, :] + sigma_scale * spread * noise).reshape(
+            -1, mus.shape[1]
+        )
+        scores, labels, adj = decode_and_score(model, variables, scorer, z, k_d)
+        best = _update_best(best, scores, labels, adj, z)
+        history.append(best.best_score)
+        evals += z.shape[0]
+        # re-center the worst anchor on the best found latent
+        if np.isfinite(best.best_score):
+            worst = int(jnp.argmin(scorer.score(
+                relabel_to_columns(anchors_labels, anchors_adj)
+            ))) if it == 0 else 0
+            mus = mus.at[worst].set(jnp.asarray(best.best_z))
+    return best._replace(num_evals=evals, history=history)
+
+
 def gp_ascent_search(
     model: PaceVAE,
     variables,

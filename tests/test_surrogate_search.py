@@ -233,3 +233,34 @@ def test_decode_and_score_rejects_non_permutation_labels():
     labels = np.asarray(labels)
     for b in np.flatnonzero(np.isfinite(scores)):
         assert sorted(labels[b].tolist()) == list(range(5))
+
+
+def test_column_adj_to_labeled_roundtrip():
+    adj = np.zeros((5, 5), dtype=np.float32)
+    # non-sorted column-space DAG: 3 -> 1, 1 -> 0, 4 -> 0
+    adj[3, 1] = adj[1, 0] = adj[4, 0] = 1.0
+    labels, sorted_adj = latent.column_adj_to_labeled(adj)
+    # edges must go forward in slot order
+    assert np.all(sorted_adj * np.tril(np.ones((5, 5))) == 0)
+    # relabeling back recovers the original column-space structure
+    from dags_vae_search_tpu.scoring.bic import relabel_to_columns
+
+    rel = np.asarray(
+        relabel_to_columns(jnp.asarray(labels)[None], jnp.asarray(sorted_adj)[None])
+    )[0]
+    assert np.array_equal(rel, adj)
+
+
+def test_refine_search_runs():
+    model, variables = _init_tiny()
+    rng = np.random.default_rng(13)
+    cards = np.full(5, 2, dtype=np.int32)
+    dataset = catalog.simulate_dataset(rng, np.zeros((5, 5), np.float32), cards, 300)
+    scorer = BicScorer(dataset)
+    labels, adj = sampler.sample_er_batch(rng, 2, 5, 6, 5)
+    res = latent.refine_search(
+        model, variables, scorer,
+        jnp.asarray(labels), jnp.asarray(adj),
+        jax.random.PRNGKey(0), iters=2, population=32,
+    )
+    assert len(res.history) == 2
