@@ -39,6 +39,28 @@ def bench_bic(batch: int = 8192, iters: int = 6) -> float:
     return batch * iters / (time.time() - t0)
 
 
+def bench_family_table(batch: int = 65536, iters: int = 5) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from dags_vae_search_tpu.graphs import sampler
+    from dags_vae_search_tpu.scoring.datasets import load_target_csv
+    from dags_vae_search_tpu.scoring.family_table import FamilyTableScorer
+
+    dataset = load_target_csv("/root/reference/data/bn_asia/target.csv")
+    scorer = FamilyTableScorer(dataset, max_parents=7)
+    rng = np.random.default_rng(1)
+    batches = [
+        jnp.asarray(sampler.sample_er_batch(rng, batch, 8, 10, 8)[1])
+        for _ in range(iters)
+    ]
+    scorer.score(batches[0]).block_until_ready()
+    t0 = time.time()
+    outs = [scorer.score(b) for b in batches]
+    jax.block_until_ready(outs)
+    return batch * iters / (time.time() - t0)
+
+
 def bench_train(batch: int = 256, steps: int = 30) -> float:
     import jax
     import jax.numpy as jnp
@@ -68,6 +90,7 @@ def bench_train(batch: int = 256, steps: int = 30) -> float:
 
 def main():
     bic_rate = bench_bic()
+    table_rate = bench_family_table()
     train_rate = bench_train()
     baseline_bic = 10.0  # ~1 R subprocess / 100 ms per candidate
     baseline_train = 171.5  # 5.36 it/s * batch 32 (reference comment trace)
@@ -78,6 +101,7 @@ def main():
                 "value": round(bic_rate, 1),
                 "unit": "DAGs/s",
                 "vs_baseline": round(bic_rate / baseline_bic, 1),
+                "family_table_evals_per_sec": round(table_rate, 1),
                 "train_graphs_per_sec": round(train_rate, 1),
                 "train_vs_baseline": round(train_rate / baseline_train, 1),
             }

@@ -99,7 +99,8 @@ def build_registry() -> Dict[str, ExperimentConfig]:
             name,
             corpus_batch=64,
             steps=20,
-            train=TrainConfig(batch_size=64, epochs=60, learning_rate=1e-4),
+            train=TrainConfig(batch_size=64, epochs=60, learning_rate=1e-4,
+                              steps_per_call=50),
             model=ModelConfig(latent_size=64),
         )
 
@@ -109,7 +110,8 @@ def build_registry() -> Dict[str, ExperimentConfig]:
             name,
             corpus_batch=32,
             steps=16,
-            train=TrainConfig(batch_size=64, epochs=40, learning_rate=1e-4),
+            train=TrainConfig(batch_size=64, epochs=40, learning_rate=1e-4,
+                              steps_per_call=50),
             model=ModelConfig(latent_size=64),
         )
 
