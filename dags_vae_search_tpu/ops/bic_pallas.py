@@ -43,29 +43,33 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _counts_kernel(w_ref, seg_ref, out_ref, *, node_tile: int, u_chunk: int):
-    """One program: counts for `node_tile` nodes of one candidate.
+def _counts_kernel(w_ref, seg_ref, out_ref, *, u_chunk: int):
+    """One program: the counts row for one (candidate, node) pair.
 
     w_ref:   [1, U_pad] f32 — unique-row weights (0 for padding rows).
-    seg_ref: [1, node_tile, U_pad] i32 — flat cell index per (node, row);
-             padding rows carry index S (out of range -> equality never hits,
-             but weight 0 guards regardless).
-    out_ref: [1, node_tile, S] f32.
+    seg_ref: [1, 1, U_pad] i32 — flat cell index per row; padding rows carry
+             an out-of-range index (weight 0 guards regardless).
+    out_ref: [1, 1, S] f32.
+
+    The unique-row axis is folded with a ``fori_loop`` so only one
+    [u_chunk, S] equality tile is ever live in VMEM (unrolled loops let the
+    compiler stack tiles and blow the scoped-vmem limit at larger shapes).
     """
     u_pad = w_ref.shape[-1]
     s = out_ref.shape[-1]
     num_chunks = u_pad // u_chunk
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (u_chunk, s), 1)
 
-    for i in range(node_tile):
-        acc = jnp.zeros((s,), dtype=jnp.float32)
-        for c in range(num_chunks):
-            seg = seg_ref[0, i, pl.ds(c * u_chunk, u_chunk)].reshape(u_chunk, 1)
-            w = w_ref[0, pl.ds(c * u_chunk, u_chunk)].reshape(u_chunk, 1)
-            # VPU select+reduce keeps integer weights exact in f32 (an MXU
-            # matvec would round weights > 256 through bf16).
-            acc = acc + jnp.sum(jnp.where(seg == iota_s, w, 0.0), axis=0)
-        out_ref[0, i, :] = acc
+    def body(c, acc):
+        start = pl.multiple_of(c * u_chunk, u_chunk)
+        seg = seg_ref[0, 0, pl.ds(start, u_chunk)].reshape(u_chunk, 1)
+        w = w_ref[0, pl.ds(start, u_chunk)].reshape(u_chunk, 1)
+        # VPU select+reduce keeps integer weights exact in f32 (an MXU
+        # matvec would round weights > 256 through bf16).
+        return acc + jnp.sum(jnp.where(seg == iota_s, w, 0.0), axis=0)
+
+    acc = jax.lax.fori_loop(0, num_chunks, body, jnp.zeros((s,), jnp.float32))
+    out_ref[0, 0, :] = acc
 
 
 def contingency_counts_pallas(
@@ -76,7 +80,6 @@ def contingency_counts_pallas(
     q_cap: int,
     r_max: int,
     u_chunk: int = 512,
-    node_tile: int | None = None,
     interpret: bool = False,
 ):
     """Counts float32[B, n, q_cap, r_max] + config sizes q float32[B, n]."""
@@ -106,30 +109,20 @@ def contingency_counts_pallas(
         seg = jnp.pad(seg, ((0, 0), (0, 0), (0, pad_rows)), constant_values=s_pad)
         weights = jnp.pad(weights, (0, pad_rows))
 
-    if node_tile is None:
-        # Keep the [node_tile, U] seg block + [U_CHUNK, S] eq tile in VMEM.
-        budget = 2 * 1024 * 1024
-        node_tile = max(1, min(n, budget // (u_pad * 4)))
-        while n % node_tile:
-            node_tile -= 1
-    n_tiles = n // node_tile
-
-    kernel = functools.partial(
-        _counts_kernel, node_tile=node_tile, u_chunk=u_chunk
-    )
+    kernel = functools.partial(_counts_kernel, u_chunk=u_chunk)
     counts = pl.pallas_call(
         kernel,
-        grid=(b, n_tiles),
+        grid=(b, n),
         in_specs=[
             pl.BlockSpec((1, u_pad), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, node_tile, u_pad),
+                (1, 1, u_pad),
                 lambda bi, ni: (bi, ni, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, node_tile, s_pad),
+            (1, 1, s_pad),
             lambda bi, ni: (bi, ni, 0),
             memory_space=pltpu.VMEM,
         ),
