@@ -60,13 +60,24 @@ def _counts_kernel(w_ref, seg_ref, out_ref, *, u_chunk: int):
     num_chunks = u_pad // u_chunk
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (u_chunk, s), 1)
 
-    def body(c, acc):
-        start = pl.multiple_of(c * u_chunk, u_chunk)
-        seg = seg_ref[0, 0, pl.ds(start, u_chunk)].reshape(u_chunk, 1)
-        w = w_ref[0, pl.ds(start, u_chunk)].reshape(u_chunk, 1)
+    def tile_counts(seg_flat, w_flat):
+        seg = seg_flat.reshape(u_chunk, 1)
+        w = w_flat.reshape(u_chunk, 1)
         # VPU select+reduce keeps integer weights exact in f32 (an MXU
         # matvec would round weights > 256 through bf16).
-        return acc + jnp.sum(jnp.where(seg == iota_s, w, 0.0), axis=0)
+        return jnp.sum(jnp.where(seg == iota_s, w, 0.0), axis=0)
+
+    if num_chunks == 1:
+        out_ref[0, 0, :] = tile_counts(seg_ref[0, 0, :], w_ref[0, :])
+        return
+
+    def body(c, acc):
+        # u_chunk is 128-aligned, so the dynamic lane-dim offset is provably
+        # a multiple of 128 (a Mosaic vector-load requirement).
+        start = pl.multiple_of(c * u_chunk, u_chunk)
+        return acc + tile_counts(
+            seg_ref[0, 0, pl.ds(start, u_chunk)], w_ref[0, pl.ds(start, u_chunk)]
+        )
 
     acc = jax.lax.fori_loop(0, num_chunks, body, jnp.zeros((s,), jnp.float32))
     out_ref[0, 0, :] = acc
@@ -87,10 +98,11 @@ def contingency_counts_pallas(
     u = codes_u.shape[0]
     s = q_cap * r_max
     s_pad = _round_up(s, 128)
-    # Chunk no larger than the (sublane-aligned) unique-row count — heavily
-    # compressed datasets (asia: 45 rows) would otherwise burn a whole
-    # 512-row tile on padding.
-    u_chunk = min(u_chunk, _round_up(u, 8))
+    # Chunk no larger than the unique-row count (heavily compressed datasets
+    # — asia: 45 rows — would otherwise burn whole tiles on padding), but
+    # 128-aligned so multi-chunk dynamic offsets satisfy Mosaic's lane
+    # alignment.
+    u_chunk = min(u_chunk, _round_up(u, 128))
     u_pad = _round_up(u, u_chunk)
 
     strides, q = bic_xla.parent_config_strides(adj, cards)
@@ -109,24 +121,29 @@ def contingency_counts_pallas(
         seg = jnp.pad(seg, ((0, 0), (0, 0), (0, pad_rows)), constant_values=s_pad)
         weights = jnp.pad(weights, (0, pad_rows))
 
+    # Fold (candidate, node) into the grid's leading axis with a size-1
+    # middle dim so every block's trailing dims equal the array dims
+    # (the Mosaic tiling requirement for non-8/128-aligned blocks).
+    seg = seg.reshape(b * n, 1, u_pad)
+
     kernel = functools.partial(_counts_kernel, u_chunk=u_chunk)
     counts = pl.pallas_call(
         kernel,
-        grid=(b, n),
+        grid=(b * n,),
         in_specs=[
-            pl.BlockSpec((1, u_pad), lambda bi, ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, u_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, 1, u_pad),
-                lambda bi, ni: (bi, ni, 0),
+                lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, s_pad),
-            lambda bi, ni: (bi, ni, 0),
+            lambda i: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n, s_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b * n, 1, s_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * u_pad * s_pad,
             bytes_accessed=b * n * (u_pad + s_pad) * 4,
@@ -135,7 +152,7 @@ def contingency_counts_pallas(
         interpret=interpret,
     )(weights[None, :], seg)
 
-    counts = counts[..., :s].reshape(b, n, q_cap, r_max)
+    counts = counts.reshape(b, n, s_pad)[..., :s].reshape(b, n, q_cap, r_max)
     return counts, q
 
 
