@@ -470,7 +470,10 @@ class ExperimentRunner:
         ad = jnp.asarray(corpus.dense_batch(np.arange(1)))
 
         mu, _ = self.model.apply(variables, lb, ad, method=PaceVAE.encode)
-        scorer = self.scorer()
+        # uncapped scorer: corpus graphs may exceed the search in-degree cap
+        from dags_vae_search_tpu.scoring.bic import BicScorer as _BS
+
+        scorer = _BS(self.scoring_dataset())
         from dags_vae_search_tpu.scoring.bic import relabel_to_columns
 
         true_bic = float(

@@ -242,8 +242,6 @@ def is_valid_pace(labels: jnp.ndarray, adj: jnp.ndarray) -> jnp.ndarray:
     output vertex, positions consistent (slot order is topological — i.e.
     strictly-forward edges), plus the labeled-graph invariants.
     """
-    card = jnp.max(labels) + 1  # only used for range check below
-    del card
     one_start = jnp.sum((labels == LABEL_START).astype(jnp.int32), axis=-1) == 1
     one_input = jnp.sum((labels == LABEL_INPUT).astype(jnp.int32), axis=-1) == 1
     one_output = jnp.sum((labels == LABEL_OUTPUT).astype(jnp.int32), axis=-1) == 1

@@ -18,7 +18,7 @@ Cross-chip island parallelism lives in ``search/islands.py``.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

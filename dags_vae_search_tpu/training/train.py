@@ -15,7 +15,7 @@ params replicated, and the gradient all-reduce is inserted by XLA (SPMD).
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, NamedTuple, Optional
 
 import jax
