@@ -52,8 +52,10 @@ def _move_candidates(adj: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([add, delete, reverse], axis=0)
 
 
-def _feasible(adj: jnp.ndarray, cands: jnp.ndarray) -> jnp.ndarray:
-    """bool[3n^2]: structurally valid (0/1, no self-loop, no 2-cycle) DAGs."""
+def _feasible(adj: jnp.ndarray, cands: jnp.ndarray, offset=0) -> jnp.ndarray:
+    """bool[len(cands)]: structurally valid (0/1, no self-loop, no 2-cycle)
+    DAG moves; ``offset`` selects the window of the global move list that
+    ``cands`` corresponds to."""
     n = adj.shape[-1]
     flat = adj.reshape(-1)
     has_edge = flat > 0
@@ -63,6 +65,9 @@ def _feasible(adj: jnp.ndarray, cands: jnp.ndarray) -> jnp.ndarray:
     can_del = has_edge
     can_rev = has_edge & (~diag)
     structural = jnp.concatenate([can_add, can_del, can_rev])
+    structural = jax.lax.dynamic_slice(
+        structural, (offset,), (cands.shape[0],)
+    )
     acyclic = jnp.trace(transitive_closure(cands), axis1=-2, axis2=-1) == 0
     return structural & acyclic
 
@@ -73,26 +78,43 @@ def hill_climb(
     init_adj: Optional[np.ndarray] = None,
     max_iters: int = 200,
     min_improvement: float = 1e-6,
+    score_chunk: int = 4096,
 ) -> HillClimbResult:
-    """Greedy best-move climb from init (empty graph by default)."""
+    """Greedy best-move climb from init (empty graph by default).
+
+    Moves are scored in fixed ``score_chunk`` blocks so the [B, n, U]
+    scoring intermediates stay bounded at large n (3 n^2 candidates would
+    otherwise exceed HBM around n ~ 70)."""
     n = num_variables
     adj = jnp.zeros((n, n)) if init_adj is None else jnp.asarray(init_adj)
+    total_moves = 3 * n * n
+    chunk = min(score_chunk, total_moves)
 
     @jax.jit
-    def propose(adj):
-        cands = _move_candidates(adj)
-        ok = _feasible(adj, cands)
-        scores = scorer.score(cands)
-        scores = jnp.where(ok, scores, -jnp.inf)
+    def propose_chunk(adj, start):
+        cands = jax.lax.dynamic_slice(
+            _move_candidates(adj), (start, 0, 0), (chunk, n, n)
+        )
+        ok = _feasible(adj, cands, offset=start)
+        scores = jnp.where(ok, scorer.score(cands), -jnp.inf)
         k = jnp.argmax(scores)
         return scores[k], cands[k]
+
+    def propose(adj):
+        best_score, best_adj = -np.inf, None
+        for start in range(0, total_moves, chunk):
+            start = min(start, total_moves - chunk)
+            score, cand = propose_chunk(adj, start)
+            if float(score) > best_score:
+                best_score, best_adj = float(score), cand
+        return best_score, best_adj
 
     current = float(scorer.score(adj[None])[0])
     history = [current]
     evals = 1
     for it in range(max_iters):
         best_score, best_adj = propose(adj)
-        evals += 3 * n * n
+        evals += total_moves
         if float(best_score) <= current + min_improvement:
             return HillClimbResult(
                 best_score=current,
