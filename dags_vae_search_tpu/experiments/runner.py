@@ -146,6 +146,16 @@ class ExperimentRunner:
 
         return data_lib.load_corpus(self.path(split))
 
+    def _to_columns(self, labels: np.ndarray, adj: np.ndarray) -> np.ndarray:
+        """Graph -> dataset-column space (identity for unlabeled corpora)."""
+        adj = np.asarray(adj)
+        if self.config.label_cardinality == 1:
+            return adj
+        out = np.zeros_like(adj)
+        perm = np.asarray(labels)
+        out[np.ix_(perm, perm)] = adj
+        return out
+
     # --------------------------------------------------------------- stages
 
     def stage_generate(self) -> None:
@@ -404,12 +414,10 @@ class ExperimentRunner:
                 "epoch": epoch,
             }
             if np.isfinite(res.best_score):
-                rel = relabel_to_columns(
-                    jnp.asarray(res.best_labels)[None],
-                    jnp.asarray(res.best_adj)[None],
-                )
                 latent_payload["best_bic_exact"] = float(
-                    scorer.score_exact(np.asarray(rel))[0]
+                    scorer.score_exact(
+                        self._to_columns(res.best_labels, res.best_adj)[None]
+                    )[0]
                 )
             result_payload["island_cem"] = latent_payload
 
@@ -434,12 +442,12 @@ class ExperimentRunner:
                 "seconds": time.time() - t0,
             }
             if np.isfinite(refined.best_score):
-                rel = relabel_to_columns(
-                    jnp_.asarray(refined.best_labels)[None],
-                    jnp_.asarray(refined.best_adj)[None],
-                )
                 refined_payload["best_bic_exact"] = float(
-                    scorer.score_exact(np.asarray(rel))[0]
+                    scorer.score_exact(
+                        self._to_columns(
+                            refined.best_labels, refined.best_adj
+                        )[None]
+                    )[0]
                 )
             result_payload["latent_refined"] = refined_payload
         except FileNotFoundError:
@@ -474,10 +482,10 @@ class ExperimentRunner:
         from dags_vae_search_tpu.scoring.bic import BicScorer as _BS
 
         scorer = _BS(self.scoring_dataset())
-        from dags_vae_search_tpu.scoring.bic import relabel_to_columns
-
         true_bic = float(
-            scorer.score_exact(np.asarray(relabel_to_columns(lb, ad)))[0]
+            scorer.score_exact(
+                self._to_columns(np.asarray(lb)[0], np.asarray(ad)[0])[None]
+            )[0]
         )
 
         vectors, targets = sur_dataset.read_predictor_parquet(

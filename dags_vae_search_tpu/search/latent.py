@@ -53,6 +53,10 @@ def decode_and_score(
     label permutation and score a bogus merged structure, so they get -inf.
     """
     recon, valid = decode_to_labeled(model, variables, z, rng)
+    if model.real_label_cardinality == 1:
+        # Unlabeled corpora (e.g. synthetic_12): slot i IS column i.
+        scores = jnp.where(valid, scorer.score(recon.adj), -jnp.inf)
+        return scores, recon.labels, recon.adj
     n = recon.labels.shape[-1]
     label_counts = jnp.sum(
         jax.nn.one_hot(recon.labels, n, dtype=jnp.float32), axis=1

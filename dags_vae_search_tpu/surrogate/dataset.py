@@ -55,9 +55,13 @@ def build_predictor_dataset(
 
 def _relabel(labels: np.ndarray, adj: np.ndarray) -> np.ndarray:
     """Permute adjacency so vertex with label L lands at index L (the
-    scorer's column space; ``bnlearn.py:38-44``)."""
-    out = np.zeros_like(adj)
+    scorer's column space; ``bnlearn.py:38-44``).  Unlabeled corpora
+    (labels not a permutation, e.g. cardinality-1 graphs) map identically:
+    slot i IS column i."""
     b, n = labels.shape
+    if not all(sorted(row.tolist()) == list(range(n)) for row in labels[: min(b, 4)]):
+        return adj
+    out = np.zeros_like(adj)
     for i in range(b):
         perm = labels[i]
         out[i][np.ix_(perm, perm)] = adj[i]
