@@ -450,6 +450,49 @@ class ExperimentRunner:
                     )[0]
                 )
             result_payload["latent_refined"] = refined_payload
+
+            # Surrogate-guided: GP posterior-UCB ascent over z from the best
+            # predictor latents (batched BO, the north-star capability).
+            predictor_path = self.path("predictor_dataset")
+            if os.path.isdir(predictor_path):
+                from dags_vae_search_tpu.surrogate import dataset as sur_ds
+                from dags_vae_search_tpu.surrogate.gp import ExactGP
+
+                vectors, targets = sur_ds.read_predictor_parquet(predictor_path)
+                keep = np.isfinite(targets)
+                vectors, targets = vectors[keep], targets[keep]
+                order = np.argsort(-targets)
+                gp = ExactGP().fit(
+                    vectors[:3000], targets[:3000],
+                    iters=self.config.search.gp_iters,
+                )
+                z_init = jnp_.asarray(vectors[order[:256]])
+                t0 = time.time()
+                asc = latent_mod.gp_ascent_search(
+                    self.model,
+                    {"params": state.params},
+                    fast_scorer,
+                    gp,
+                    jax.random.PRNGKey(self.config.seed + 4),
+                    z_init,
+                    steps=100,
+                    ucb_beta=0.5,
+                    decode_rounds=8,
+                )
+                asc_payload = {
+                    "best_bic": asc.best_score,
+                    "evals": asc.num_evals,
+                    "seconds": time.time() - t0,
+                }
+                if np.isfinite(asc.best_score):
+                    asc_payload["best_bic_exact"] = float(
+                        scorer.score_exact(
+                            self._to_columns(asc.best_labels, asc.best_adj)[
+                                None
+                            ]
+                        )[0]
+                    )
+                result_payload["gp_ascent"] = asc_payload
         except FileNotFoundError:
             result_payload["island_cem"] = "skipped (no checkpoint)"
 
