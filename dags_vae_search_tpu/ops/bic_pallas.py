@@ -176,22 +176,9 @@ def score_dags_pallas(
     counts, q = contingency_counts_pallas(
         adj, codes_u, weights, cards, q_cap, r_max, interpret=interpret
     )
-
-    cards_f = cards.astype(jnp.float32)
-    n_j = jnp.sum(counts, axis=-1, keepdims=True)
-    safe = counts > 0
-    ratio = jnp.where(safe, counts, 1.0) / jnp.where(n_j > 0, n_j, 1.0)
-    ll = jnp.sum(counts * jnp.where(safe, jnp.log(ratio), 0.0), axis=(-2, -1))
-
-    df = (cards_f[None, :] - 1.0) * q
-    if metric == "bic":
-        node_scores = ll - df * (jnp.log(float(num_cases)) / 2.0)
-    elif metric == "aic":
-        node_scores = ll - df
-    elif metric == "loglik":
-        node_scores = ll
-    else:
-        raise ValueError(f"unknown metric {metric!r}")
+    node_scores = bic_xla.node_scores_from_counts(
+        counts, q, cards, num_cases, metric
+    )
     total = jnp.sum(node_scores, axis=-1)
 
     feasible = jnp.all(q <= float(q_cap), axis=-1)

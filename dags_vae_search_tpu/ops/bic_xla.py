@@ -83,6 +83,71 @@ def _contingency_counts(
     return counts.reshape(*seg.shape[:2], q_cap, r_max)
 
 
+def node_scores_from_counts(
+    counts: jnp.ndarray,  # float32[B, n, Q, r]
+    q: jnp.ndarray,  # float32[B, n] — actual parent-config counts
+    cards: jnp.ndarray,  # int32[n]
+    num_cases: int,
+    metric: str = "bic",
+    iss: float = 1.0,
+) -> jnp.ndarray:
+    """Per-node decomposable scores [B, n] from contingency counts.
+
+    Metrics (bnlearn ``type=`` parity):
+      'bic'    ll - (r-1) q log(N)/2
+      'aic'    ll - (r-1) q
+      'loglik' ll
+      'bde'    BDeu with imaginary sample size ``iss``:
+               sum_j [lgamma(a_j) - lgamma(a_j + N_j)
+                      + sum_k (lgamma(a_jk + N_jk) - lgamma(a_jk))],
+               a_j = iss/q, a_jk = iss/(q r) — over the q observed-support
+               parent configurations (cells beyond q have N=0 and cancel).
+    """
+    cards_f = cards.astype(jnp.float32)
+    n_j = jnp.sum(counts, axis=-1, keepdims=True)
+
+    if metric == "bde":
+        from jax.scipy.special import gammaln
+
+        q_cap, r_max = counts.shape[-2], counts.shape[-1]
+        # active-cell masks: configs < q, child values < r_i
+        cfg_idx = jnp.arange(q_cap, dtype=jnp.float32)[None, None, :, None]
+        val_idx = jnp.arange(r_max, dtype=jnp.float32)[None, None, None, :]
+        active = (cfg_idx < q[..., None, None]) & (
+            val_idx < cards_f[None, :, None, None]
+        )
+        a_jk = iss / (q * cards_f[None, :])  # [B, n]
+        a_jk_b = a_jk[..., None, None]
+        a_j = (iss / q)[..., None, None]
+        cell = jnp.where(
+            active, gammaln(a_jk_b + counts) - gammaln(a_jk_b), 0.0
+        )
+        row_active = cfg_idx[..., 0] < q[..., None]  # [B, n, Q]
+        row = jnp.where(
+            row_active,
+            gammaln(a_j[..., 0]) - gammaln(a_j[..., 0] + n_j[..., 0]),
+            0.0,
+        )
+        return jnp.sum(cell, axis=(-2, -1)) + jnp.sum(row, axis=-1)
+
+    safe = counts > 0
+    # log(N_jk / N_j) on the ratio (not as a difference of large logs):
+    # the ratio is in (0, 1], so float32 log keeps ~1e-7 relative accuracy
+    # per cell instead of absolute ~1e-3 from log(count) cancellation.
+    ratio = jnp.where(safe, counts, 1.0) / jnp.where(n_j > 0, n_j, 1.0)
+    log_ratio = jnp.where(safe, jnp.log(ratio), 0.0)
+    ll = jnp.sum(counts * log_ratio, axis=(-2, -1))  # [B, n]
+
+    df = (cards_f[None, :] - 1.0) * q  # [B, n]
+    if metric == "bic":
+        return ll - df * (jnp.log(float(num_cases)) / 2.0)
+    if metric == "aic":
+        return ll - df
+    if metric == "loglik":
+        return ll
+    raise ValueError(f"unknown metric {metric!r}")
+
+
 def score_dags(
     adj: jnp.ndarray,
     codes: jnp.ndarray,
@@ -109,30 +174,13 @@ def score_dags(
     Returns float32[B] scores (natural log, higher is better).
     """
     codes_f32 = codes.astype(jnp.float32)
-    cards_f = cards.astype(jnp.float32)
     num_cases = codes.shape[0]
 
     strides, q = parent_config_strides(adj, cards)
     counts = _contingency_counts(codes_f32, codes, strides, q_cap, r_max)
-
-    n_j = jnp.sum(counts, axis=-1, keepdims=True)
-    safe = counts > 0
-    # log(N_jk / N_j) on the ratio (not as a difference of large logs):
-    # the ratio is in (0, 1], so float32 log keeps ~1e-7 relative accuracy
-    # per cell instead of absolute ~1e-3 from log(count) cancellation.
-    ratio = jnp.where(safe, counts, 1.0) / jnp.where(n_j > 0, n_j, 1.0)
-    log_ratio = jnp.where(safe, jnp.log(ratio), 0.0)
-    ll = jnp.sum(counts * log_ratio, axis=(-2, -1))  # [B, n]
-
-    df = (cards_f[None, :] - 1.0) * q  # [B, n]
-    if metric == "bic":
-        node_scores = ll - df * (jnp.log(float(num_cases)) / 2.0)
-    elif metric == "aic":
-        node_scores = ll - df
-    elif metric == "loglik":
-        node_scores = ll
-    else:
-        raise ValueError(f"unknown metric {metric!r}")
+    node_scores = node_scores_from_counts(
+        counts, q, cards, num_cases, metric
+    )
 
     if node_mask is not None:
         node_scores = jnp.where(node_mask[None, :], node_scores, 0.0)
@@ -170,7 +218,7 @@ def contingency_counts(
     return counts, q
 
 
-def score_from_counts_np(counts, q, cards, num_cases, metric="bic"):
+def score_from_counts_np(counts, q, cards, num_cases, metric="bic", iss=1.0):
     """float64 host finisher: counts[B,n,Q,r], q[B,n] -> scores[B]."""
     import numpy as np
 
@@ -178,6 +226,21 @@ def score_from_counts_np(counts, q, cards, num_cases, metric="bic"):
     q = np.asarray(q, dtype=np.float64)
     cards = np.asarray(cards, dtype=np.float64)
     n_j = counts.sum(-1, keepdims=True)
+
+    if metric == "bde":
+        from scipy.special import gammaln
+
+        a_jk = (iss / (q * cards[None, :]))[..., None, None]
+        a_j = (iss / q)[..., None, None]
+        cell = np.where(
+            counts > 0, gammaln(a_jk + counts) - gammaln(a_jk), 0.0
+        )
+        row = np.where(
+            n_j > 0, gammaln(a_j) - gammaln(a_j + n_j), 0.0
+        )
+        node_scores = cell.sum((-2, -1)) + row.sum((-2, -1))
+        return node_scores.sum(-1)
+
     safe = counts > 0
     with np.errstate(divide="ignore", invalid="ignore"):
         log_ratio = np.where(

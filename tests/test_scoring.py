@@ -183,3 +183,37 @@ def test_family_table_matches_direct_scorer(asia_dataset):
     # golden graph too
     g = np.asarray(table.score(jnp.asarray(asia_golden_adj())[None]))[0]
     assert g == pytest.approx(GOLDEN_ASIA_BIC, abs=0.05)
+
+
+def test_bde_metric_against_independent_formula(asia_dataset):
+    from scipy.special import gammaln as gln
+
+    def bde_np(adj, codes, cards, iss=1.0):
+        num_cases, n = codes.shape
+        total = 0.0
+        for i in range(n):
+            parents = np.flatnonzero(adj[:, i] > 0)
+            q = int(np.prod(cards[parents])) if parents.size else 1
+            r = int(cards[i])
+            cfg = np.zeros(num_cases, dtype=np.int64)
+            mult = 1
+            for p in parents:
+                cfg += codes[:, p] * mult
+                mult *= cards[p]
+            tbl = np.zeros((q, r))
+            np.add.at(tbl, (cfg, codes[:, i]), 1.0)
+            a_jk = iss / (q * r)
+            a_j = iss / q
+            total += (gln(a_j) - gln(a_j + tbl.sum(1))).sum()
+            total += (gln(a_jk + tbl) - gln(a_jk)).sum()
+        return total
+
+    adj = asia_golden_adj()
+    want = bde_np(adj, asia_dataset.codes, asia_dataset.cards)
+    scorer = BicScorer(asia_dataset, metric="bde")
+    got_exact = scorer.score_exact(adj[None])[0]
+    assert got_exact == pytest.approx(want, rel=1e-9)
+    got_fast = scorer.score_one(adj)
+    assert got_fast == pytest.approx(want, abs=2.0)
+    pal = BicScorer(asia_dataset, metric="bde", impl="pallas_interpret")
+    assert float(pal.score(jnp.asarray(adj)[None])[0]) == pytest.approx(want, abs=2.0)
