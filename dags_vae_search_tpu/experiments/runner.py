@@ -379,7 +379,6 @@ class ExperimentRunner:
             test_corpus = self._load_corpus("test")
             import jax.numpy as jnp_
 
-            from dags_vae_search_tpu.scoring.bic import relabel_to_columns
 
             seed_n = min(2048, len(test_corpus))
             mus, _ = self.model.apply(
