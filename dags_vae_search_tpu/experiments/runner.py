@@ -420,19 +420,26 @@ class ExperimentRunner:
                 )
             result_payload["island_cem"] = latent_payload
 
-            # Hybrid: local latent refinement around the hill-climb winner.
+            # Hybrid: local latent refinement around the hill-climb winner,
+            # encoded under several random topological orders (labels must
+            # look like the corpus's independent permutations or the anchor
+            # lands outside the encoder's training distribution).
             from dags_vae_search_tpu.search import latent as latent_mod
 
-            anchor_labels, anchor_adj = latent_mod.column_adj_to_labeled(
-                hc.best_adj
-            )
+            order_rng = np.random.default_rng(self.config.seed + 5)
+            anchor_pairs = [
+                latent_mod.column_adj_to_labeled(hc.best_adj, order_rng)
+                for _ in range(8)
+            ]
+            anchor_labels = np.stack([p[0] for p in anchor_pairs])
+            anchor_adj = np.stack([p[1] for p in anchor_pairs])
             t0 = time.time()
             refined = latent_mod.refine_search(
                 self.model,
                 {"params": state.params},
                 fast_scorer,
-                jnp_.asarray(anchor_labels)[None],
-                jnp_.asarray(anchor_adj)[None],
+                jnp_.asarray(anchor_labels),
+                jnp_.asarray(anchor_adj),
                 jax.random.PRNGKey(self.config.seed + 3),
             )
             refined_payload = {

@@ -148,12 +148,19 @@ def cem_search(
     return best._replace(num_evals=iters * population, history=history)
 
 
-def column_adj_to_labeled(adj: np.ndarray):
+def column_adj_to_labeled(
+    adj: np.ndarray, rng: Optional[np.random.Generator] = None
+):
     """Column-space DAG -> (labels, slot-indexed adj) for encoding.
 
     The scorer works in dataset-column space; the VAE works on
     topologically-indexed labeled graphs.  Topologically sort the columns
     and carry the column identity as the vertex label (host-side, small).
+
+    Pass ``rng`` to randomize topological tie-breaking: corpus labels are
+    independent random permutations, so a deterministic (sorted) order
+    correlates label with position and pushes the encoded anchor out of the
+    training distribution.
     """
     adj = np.asarray(adj)
     n = adj.shape[0]
@@ -161,7 +168,8 @@ def column_adj_to_labeled(adj: np.ndarray):
     order = []
     ready = [v for v in range(n) if indeg[v] == 0]
     while ready:
-        v = ready.pop(0)
+        pick = int(rng.integers(len(ready))) if rng is not None else 0
+        v = ready.pop(pick)
         order.append(v)
         for w in np.flatnonzero(adj[v] > 0):
             indeg[w] -= 1
