@@ -527,12 +527,14 @@ class ExperimentRunner:
         ad = jnp.asarray(corpus.dense_batch(np.arange(1)))
 
         mu, _ = self.model.apply(variables, lb, ad, method=PaceVAE.encode)
-        # uncapped scorer: corpus graphs may exceed the search in-degree cap
+        # Cap-free exact scoring: dense corpus graphs (e.g. alarm in-degree
+        # > 12) blow past any dense-contingency q_cap, so use the sparse
+        # host scorer — finite for any in-degree.
         from dags_vae_search_tpu.scoring.bic import BicScorer as _BS
 
         scorer = _BS(self.scoring_dataset())
         true_bic = float(
-            scorer.score_exact(
+            scorer.score_exact_sparse(
                 self._to_columns(np.asarray(lb)[0], np.asarray(ad)[0])[None]
             )[0]
         )

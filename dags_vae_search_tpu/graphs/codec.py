@@ -213,8 +213,43 @@ def iter_batches(
     """Stream fixed-size (labels, adj) batches from a parquet dataset.
 
     Row-group streaming analogue of ``bn_parquet_iterator``
-    (``src/parquet_utils.py:33-49``) but yielding dense batches.
+    (``src/parquet_utils.py:33-49``) but yielding dense batches: one parquet
+    row group is resident at a time (plus the carry buffer), so link-scale
+    corpora (n=724 — ~2 MB dense adjacency per graph) never materialize
+    fully in host memory.  A trailing partial batch is dropped, matching
+    the fixed-shape device-dispatch contract.
     """
-    labels, adj = read_dataset(path)
-    for start in range(0, labels.shape[0] - batch_size + 1, batch_size):
-        yield labels[start : start + batch_size], adj[start : start + batch_size]
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+            and os.path.getsize(os.path.join(path, f)) > 0
+        )
+    else:
+        parts = [path]
+
+    pending: list[Tuple[np.ndarray, np.ndarray]] = []
+    pending_rows = 0
+    for part in parts:
+        pf = pq.ParquetFile(part)
+        for rg in range(pf.num_row_groups):
+            labels, adj = table_to_tensors(pf.read_row_group(rg))
+            pending.append((labels, adj))
+            pending_rows += labels.shape[0]
+            while pending_rows >= batch_size:
+                cat_labels = np.concatenate([p[0] for p in pending])
+                cat_adj = np.concatenate([p[1] for p in pending])
+                for start in range(
+                    0, cat_labels.shape[0] - batch_size + 1, batch_size
+                ):
+                    yield (
+                        cat_labels[start : start + batch_size],
+                        cat_adj[start : start + batch_size],
+                    )
+                rem = cat_labels.shape[0] % batch_size
+                if rem:
+                    pending = [(cat_labels[-rem:], cat_adj[-rem:])]
+                else:
+                    pending = []
+                pending_rows = rem

@@ -250,13 +250,18 @@ def sample_er_dags(
     label_method: str = "sample",
     require_connected: bool = True,
     num_attempts: int = 8,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """On-device batched ER-DAG sampler (jit-able, fixed shapes).
 
     Draws ``num_attempts`` independent candidate edge sets per slot and keeps
     the first weakly-connected one (rejection with a static retry budget —
     the jit-safe analogue of the reference's ``try_limit`` loop,
     ``src/toolkit/labeled.py:298-333``).
+
+    Returns ``(labels, adj, ok)`` where ``ok`` bool[G] marks graphs whose
+    retry budget found a connected candidate; slots with ``ok == False``
+    carry the (disconnected) first attempt — filter or resample them, the
+    fixed-shape analogue of ``sample_er_batch``'s ``on_exhaust``.
     """
     n = num_vertices
     rows, cols = _pair_indices(n)
@@ -287,6 +292,7 @@ def sample_er_dags(
     adjs, oks = jax.vmap(one_attempt)(attempt_keys)  # [A, G, N, N], [A, G]
     first_ok = jnp.argmax(oks, axis=0)  # first True per graph (0 if none)
     adj = jnp.take_along_axis(adjs, first_ok[None, :, None, None], axis=0)[0]
+    ok = jnp.any(oks, axis=0)
 
     if label_method == "sample":
         if label_cardinality == 1:
@@ -298,4 +304,4 @@ def sample_er_dags(
         labels = jax.random.randint(
             key_labels, (num_graphs, n), 0, label_cardinality, dtype=jnp.int32
         )
-    return labels, adj
+    return labels, adj, ok

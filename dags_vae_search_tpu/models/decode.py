@@ -20,6 +20,20 @@ Reproduced reference semantics (including its quirks):
 - graphs that freeze early keep output-labeled placeholder slots, which
   unwrap to out-of-range labels and are counted invalid (the reference
   would crash converting them — trained models never emit them).
+
+Constrained sampling (``constrain_labels=True``, the default) restricts the
+categorical to the *support of the training distribution*: corpora are
+fixed-size graphs whose labels are drawn without replacement
+(``graphs/sampler.py:77-100``; reference ``src/toolkit/labeled.py:318-321``
+``random.sample``), so virtual labels never appear in generated slots, the
+output label appears only at the last slot, and — when the cardinality
+equals the vertex count, i.e. labels are exact permutations — no real label
+repeats.  Masking the logits accordingly is distribution-consistent (it
+renormalizes over outcomes the training data could actually contain) and
+makes every decode a valid, scoreable graph; without it the probability of
+sampling each label exactly once vanishes for n >= 20 and latent search
+scores -inf everywhere.  Pass ``constrain_labels=False`` for the
+reference's unconstrained semantics (parity tests, quirk reproduction).
 """
 
 from __future__ import annotations
@@ -45,14 +59,23 @@ def sample_decode(
     variables,
     z: jnp.ndarray,
     rng: jax.Array,
+    constrain_labels: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode latents to PACE tensors.
 
     Returns (labels int32[B, N], adj float32[B, N, N], finished bool[B])
-    over the wrapped (N = real + 3) vertex space.
+    over the wrapped (N = real + 3) vertex space.  See the module docstring
+    for ``constrain_labels`` semantics.
     """
     batch = z.shape[0]
     n = model.max_n
+    card = model.cardinality
+    # Used-label masking only applies when corpus labels are permutations.
+    mask_used = (
+        constrain_labels
+        and model.real_label_cardinality == model.num_real_vertices
+        and model.real_label_cardinality > 1
+    )
 
     labels0 = jnp.full((batch, n), LABEL_OUTPUT, dtype=jnp.int32)
     labels0 = labels0.at[:, 0].set(LABEL_START).at[:, 1].set(LABEL_INPUT)
@@ -61,12 +84,18 @@ def sample_decode(
     # incrementally (new node's ancestors = parents + their ancestors).
     reach0 = adj0
     finished0 = jnp.zeros((batch,), dtype=bool)
+    used0 = jnp.zeros((batch, card), dtype=bool)
 
     slot = jnp.arange(n)
     eye = jnp.eye(n, dtype=bool)
+    # Virtual labels are never sampleable under constrained decode: START and
+    # INPUT occupy pre-seeded slots 0/1 only.
+    virtual = jnp.zeros((card,), dtype=bool)
+    virtual = virtual.at[LABEL_START].set(True).at[LABEL_INPUT].set(True)
+    is_output_label = jnp.zeros((card,), dtype=bool).at[LABEL_OUTPUT].set(True)
 
     def step(carry, idx):
-        labels, adj, reach, finished, key = carry
+        labels, adj, reach, finished, used, key = carry
         key, k_type, k_edge = jax.random.split(key, 3)
 
         # Attention mask from the carried closure: query q attends key k iff
@@ -80,6 +109,17 @@ def sample_decode(
         type_logits, edge_probs = model.apply(
             variables, z, labels, adj, allowed, idx, method=PaceVAE.decode_step
         )
+
+        if constrain_labels:
+            last = idx == n - 1
+            disallow = virtual[None, :] | jnp.where(
+                last, ~is_output_label, is_output_label
+            )
+            if mask_used:
+                disallow = disallow | used
+            type_logits = jnp.where(
+                disallow, jnp.finfo(type_logits.dtype).min, type_logits
+            )
 
         sampled = jax.random.categorical(k_type, type_logits, axis=-1)
         is_output = sampled == LABEL_OUTPUT
@@ -109,11 +149,14 @@ def sample_decode(
         )
         reach = jax.lax.dynamic_update_index_in_dim(reach, anc, idx, axis=2)
 
+        used = used | (
+            jax.nn.one_hot(new_label, card, dtype=bool) & ~finished[:, None]
+        )
         finished = finished | is_output
-        return (labels, adj, reach, finished, key), None
+        return (labels, adj, reach, finished, used, key), None
 
-    (labels, adj, _, finished, _), _ = jax.lax.scan(
-        step, (labels0, adj0, reach0, finished0, rng), jnp.arange(2, n)
+    (labels, adj, _, finished, _, _), _ = jax.lax.scan(
+        step, (labels0, adj0, reach0, finished0, used0, rng), jnp.arange(2, n)
     )
     return labels, adj, finished
 
@@ -123,6 +166,7 @@ def decode_to_labeled(
     variables,
     z: jnp.ndarray,
     rng: jax.Array,
+    constrain_labels: bool = True,
 ) -> Tuple[DagBatch, jnp.ndarray]:
     """Decode latents to labeled DAGs + validity mask.
 
@@ -130,7 +174,9 @@ def decode_to_labeled(
     equivalent of ``LabeledDag.is_valid_graph`` on decoded graphs; DAG-ness
     holds by construction since sampled edges only point forward).
     """
-    labels, adj, _ = sample_decode(model, variables, z, rng)
+    labels, adj, _ = sample_decode(
+        model, variables, z, rng, constrain_labels=constrain_labels
+    )
     unwrapped = pace_unwrap(labels, adj)
     valid = is_valid_labeled(
         unwrapped.labels, unwrapped.adj, model.real_label_cardinality

@@ -166,6 +166,66 @@ class BicScorer:
             out.append(np.where(feasible, scores, -np.inf))
         return np.concatenate(out)
 
+    def score_exact_sparse(self, adj: np.ndarray) -> np.ndarray:
+        """Cap-free exact scoring on host: float64, any in-degree.
+
+        ``score``/``score_exact`` allocate dense ``[B, n, q_cap, r]``
+        contingency tables, so graphs whose parent-configuration space
+        exceeds ``q_cap`` are infeasible (-inf).  Here the log-likelihood is
+        computed over *observed* parent configurations only (``np.unique``
+        group-by — at most ``num_cases`` groups regardless of in-degree),
+        while the BIC/AIC penalty uses the analytic ``q = prod(parent
+        cards)``, matching R bnlearn exactly (its penalty counts unobserved
+        configurations too; their likelihood cells are zero and drop out).
+        Slow-path scorer for dense corpus graphs (e.g. ``stage_roundtrip``
+        on alarm, where corpus in-degrees exceed any practical cap);
+        search hot paths stay on :meth:`score`.
+        """
+        adj = np.asarray(adj)
+        codes = np.asarray(self.dataset.codes)
+        cards = np.asarray(self.dataset.cards, dtype=np.float64)
+        num_cases = self.dataset.num_cases
+        half_log_n = np.log(float(num_cases)) / 2.0
+        out = np.zeros(adj.shape[0], dtype=np.float64)
+        for b in range(adj.shape[0]):
+            total = 0.0
+            for i in range(adj.shape[-1]):
+                parents = np.flatnonzero(adj[b, :, i] > 0)
+                joint = codes[:, np.concatenate([parents, [i]]).astype(int)]
+                _, n_jk = np.unique(joint, axis=0, return_counts=True)
+                if parents.size:
+                    _, n_j = np.unique(
+                        codes[:, parents], axis=0, return_counts=True
+                    )
+                else:
+                    n_j = np.asarray([num_cases])
+                n_jk = n_jk.astype(np.float64)
+                n_j = n_j.astype(np.float64)
+                # sum_jk N_jk log(N_jk/N_j) regrouped as two entropy sums
+                ll = float((n_jk * np.log(n_jk)).sum() - (n_j * np.log(n_j)).sum())
+                q = float(np.prod(cards[parents])) if parents.size else 1.0
+                df = (cards[i] - 1.0) * q
+                if self.metric == "bic":
+                    total += ll - df * half_log_n
+                elif self.metric == "aic":
+                    total += ll - df
+                elif self.metric == "loglik":
+                    total += ll
+                elif self.metric == "bde":
+                    from scipy.special import gammaln
+
+                    iss = 1.0
+                    a_jk = iss / (q * cards[i])
+                    a_j = iss / q
+                    total += float(
+                        (gammaln(a_jk + n_jk) - gammaln(a_jk)).sum()
+                        + (gammaln(a_j) - gammaln(a_j + n_j)).sum()
+                    )
+                else:
+                    raise ValueError(f"unknown metric {self.metric!r}")
+            out[b] = total
+        return out
+
     def score_labeled(self, labels: jnp.ndarray, adj: jnp.ndarray) -> jnp.ndarray:
         """Score label-indexed graphs (vertex label = dataset column)."""
         return self.score(relabel_to_columns(labels, adj))

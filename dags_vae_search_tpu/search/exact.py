@@ -85,6 +85,16 @@ def exact_search(
             f"exact DP is exponential in n; n={n} > 22 — use hill_climb/"
             "island_cem_search instead"
         )
+    # score_nodes clips parent-config indices at q_cap without masking, so
+    # an undersized cap would certify a silently-wrong "optimum".
+    r_max = int(np.asarray(scorer.dataset.cards).max())
+    q_need = r_max ** min(max_parents, n - 1)
+    if scorer.q_cap < q_need:
+        raise ValueError(
+            f"scorer.q_cap={scorer.q_cap} < r_max**max_parents={q_need}; "
+            "family scores would be silently clipped — construct the "
+            f"BicScorer with q_cap>={q_need} (or lower max_parents)"
+        )
     size = 1 << n
     families = score_all_families(scorer, n, max_parents, chunk)
     num_families = sum(m.shape[0] for m, _ in families)

@@ -204,6 +204,13 @@ def refine_search(
         variables, anchors_labels, anchors_adj, method=PaceVAE.encode
     )
     spread = float(jnp.mean(jnp.std(mus, axis=0))) if mus.shape[0] > 1 else 1.0
+    # Per-anchor incumbent scores, updated as anchors are re-centered;
+    # re-centering always evicts the currently-worst anchor.
+    if model.real_label_cardinality == 1:
+        anchor_cols = anchors_adj
+    else:
+        anchor_cols = relabel_to_columns(anchors_labels, anchors_adj)
+    anchor_scores = np.asarray(scorer.score(anchor_cols)).copy()
     best = None
     history = []
     evals = 0
@@ -219,11 +226,10 @@ def refine_search(
         history.append(best.best_score)
         evals += z.shape[0]
         # re-center the worst anchor on the best found latent
-        if np.isfinite(best.best_score):
-            worst = int(jnp.argmin(scorer.score(
-                relabel_to_columns(anchors_labels, anchors_adj)
-            ))) if it == 0 else 0
+        if np.isfinite(best.best_score) and best.best_score > anchor_scores.min():
+            worst = int(np.argmin(anchor_scores))
             mus = mus.at[worst].set(jnp.asarray(best.best_z))
+            anchor_scores[worst] = best.best_score
     return best._replace(num_evals=evals, history=history)
 
 

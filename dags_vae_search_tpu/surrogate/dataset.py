@@ -59,7 +59,8 @@ def _relabel(labels: np.ndarray, adj: np.ndarray) -> np.ndarray:
     (labels not a permutation, e.g. cardinality-1 graphs) map identically:
     slot i IS column i."""
     b, n = labels.shape
-    if not all(sorted(row.tolist()) == list(range(n)) for row in labels[: min(b, 4)]):
+    is_perm = np.all(np.sort(labels, axis=1) == np.arange(n)[None, :])
+    if not is_perm:
         return adj
     out = np.zeros_like(adj)
     for i in range(b):

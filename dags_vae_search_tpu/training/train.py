@@ -283,7 +283,11 @@ class Trainer:
                         state, corpus_labels, corpus_adj, block, sub
                     )
                     batches += k
-                    if config.log_every:
+                    # log when a multiple of log_every was crossed this chunk
+                    if config.log_every and (
+                        batches // config.log_every
+                        != (batches - k) // config.log_every
+                    ):
                         vals = np.asarray(stacked[-1])
                         log(
                             f"epoch {epoch} batch {batches}: "

@@ -151,10 +151,25 @@ def test_host_sampler_properties():
 
 def test_device_sampler_properties():
     key = jax.random.PRNGKey(0)
-    labels, adj = sampler.sample_er_dags(key, 64, 8, 10, 8)
+    labels, adj, ok = sampler.sample_er_dags(key, 64, 8, 10, 8)
     assert np.all(np.asarray(num_edges(adj)) == 10)
     assert np.asarray(is_weakly_connected(adj)).mean() > 0.9
     assert bool(np.all(is_valid_labeled(labels, adj, 8)))
+    # the ok mask marks exactly the graphs whose retry budget connected
+    assert np.array_equal(np.asarray(ok), np.asarray(is_weakly_connected(adj)))
+
+
+def test_device_sampler_reports_exhausted_budget():
+    # At the connectivity threshold (m = n - 1) with a budget of one attempt
+    # some graphs must fail; they are flagged, not silently returned.
+    key = jax.random.PRNGKey(1)
+    labels, adj, ok = sampler.sample_er_dags(
+        key, 256, 12, 11, 12, num_attempts=1
+    )
+    ok = np.asarray(ok)
+    connected = np.asarray(is_weakly_connected(adj))
+    assert np.array_equal(ok, connected)
+    assert not ok.all()  # the failure mode actually occurs at this setting
 
 
 def test_edge_count_schedule_parity():

@@ -161,3 +161,49 @@ def test_training_reduces_loss():
         if first is None:
             first = float(total)
     assert float(total) < 0.75 * first
+
+
+def test_constrained_decode_always_valid_at_n20():
+    # VERDICT r1 #2: unconstrained decode at n >= 20 virtually never emits a
+    # label permutation, so latent search scored -inf everywhere.  The
+    # constrained decode masks virtual labels, used labels, and early output,
+    # making every decode a valid permutation-labeled DAG — even untrained.
+    n = 20
+    model = PaceVAE(
+        num_real_vertices=n, real_label_cardinality=n,
+        embed_size=16, num_heads=4, num_layers=2, latent_size=16, fc_hidden=16,
+    )
+    rng = np.random.default_rng(0)
+    labels, adj = sampler.sample_er_batch(rng, 4, n, n + 4, n)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(labels), jnp.asarray(adj)
+    )
+    z = jax.random.normal(jax.random.PRNGKey(1), (32, model.latent_size))
+    recon, valid = decode_to_labeled(model, variables, z, jax.random.PRNGKey(2))
+    assert bool(np.all(np.asarray(valid)))
+    lab = np.asarray(recon.labels)
+    assert np.all(np.sort(lab, axis=1) == np.arange(n)[None, :])
+    # The reference's unconstrained semantics stay available for parity.
+    _, valid_u = decode_to_labeled(
+        model, variables, z, jax.random.PRNGKey(2), constrain_labels=False
+    )
+    assert np.asarray(valid_u).mean() < 0.5
+
+
+def test_constrained_decode_unlabeled_cardinality_one():
+    # Unlabeled corpora (synthetic_12 style): no used-label masking (the one
+    # real label repeats), but virtual/output masking still forces a
+    # full-size valid decode.
+    model = PaceVAE(
+        num_real_vertices=6, real_label_cardinality=1,
+        embed_size=16, num_heads=4, num_layers=2, latent_size=8, fc_hidden=16,
+    )
+    rng = np.random.default_rng(0)
+    labels, adj = sampler.sample_er_batch(rng, 4, 6, 7, 1)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(labels), jnp.asarray(adj)
+    )
+    z = jax.random.normal(jax.random.PRNGKey(1), (16, model.latent_size))
+    recon, valid = decode_to_labeled(model, variables, z, jax.random.PRNGKey(2))
+    assert bool(np.all(np.asarray(valid)))
+    assert np.all(np.asarray(recon.labels) == 0)

@@ -217,3 +217,44 @@ def test_bde_metric_against_independent_formula(asia_dataset):
     assert got_fast == pytest.approx(want, abs=2.0)
     pal = BicScorer(asia_dataset, metric="bde", impl="pallas_interpret")
     assert float(pal.score(jnp.asarray(adj)[None])[0]) == pytest.approx(want, abs=2.0)
+
+
+def test_sparse_exact_scorer_golden_and_capfree(asia_dataset):
+    scorer = BicScorer(asia_dataset, metric="bic", max_parents=4)
+    # Golden parity on the asia anchor graph.
+    value = scorer.score_exact_sparse(asia_golden_adj()[None])[0]
+    assert value == pytest.approx(GOLDEN_ASIA_BIC, abs=1e-6)
+    # A dense graph (node 7 has 7 parents -> q = 2^7 but max_parents/q_cap
+    # make the dense path -inf) stays finite and matches the numpy scorer.
+    dense = np.triu(np.ones((8, 8), dtype=np.float32), k=1)
+    assert scorer.score_exact(dense[None])[0] == -np.inf
+    got = scorer.score_exact_sparse(dense[None])[0]
+    expect = reference_score_np(dense, asia_dataset.codes, asia_dataset.cards)
+    assert got == pytest.approx(expect, rel=1e-9)
+
+
+@pytest.mark.parametrize("metric", ["bic", "aic", "loglik"])
+def test_sparse_exact_matches_numpy_synthetic(metric):
+    rng = np.random.default_rng(11)
+    n = 6
+    cards = rng.integers(2, 4, size=n)
+    codes = np.stack(
+        [rng.integers(0, c, size=400) for c in cards], axis=1
+    ).astype(np.int32)
+    from dags_vae_search_tpu.scoring.datasets import DiscreteDataset
+
+    ds = DiscreteDataset(
+        codes=codes, cards=cards.astype(np.int32),
+        columns=[f"x{i}" for i in range(n)],
+    )
+    scorer = BicScorer(ds, metric=metric)
+    adjs = np.zeros((16, n, n), dtype=np.float32)
+    iu = np.triu_indices(n, k=1)
+    for b in range(16):
+        mask = rng.random(iu[0].shape[0]) < 0.4
+        adjs[b][iu[0][mask], iu[1][mask]] = 1.0
+    got = scorer.score_exact_sparse(adjs)
+    expect = np.array(
+        [reference_score_np(a, codes, cards, metric) for a in adjs]
+    )
+    np.testing.assert_allclose(got, expect, rtol=1e-9)
