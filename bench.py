@@ -6,9 +6,16 @@ throughput on asia — the reference scores one graph per R subprocess spawn
 end of BASELINE.md's "1 graph per subprocess"); the north-star target is
 >=10k/s on a v5e-8. ``vs_baseline`` is measured throughput / 10.
 
-Extra fields report VAE training throughput in graphs/s vs the reference's
-best comment trace (5.36 it/s x batch 32 = 171.5 graphs/s,
-``experiments/01_bn_asia/main.py:560``).
+Extra fields:
+- BIC throughput at alarm (n=37) and hepar2 (n=70) scale on simulated
+  catalog-shaped datasets (the reference subprocess baseline is
+  size-independent at ~10/s).
+- family-table gather throughput (asia).
+- VAE training throughput in graphs/s vs the reference's best comment
+  trace (5.36 it/s x batch 32 = 171.5 graphs/s,
+  ``experiments/01_bn_asia/main.py:560``), plus per-step time and a rough
+  model-FLOPs utilisation estimate for asia (n=8), hepar2 (n=70) and
+  link (n=724) train steps.
 """
 
 import json
@@ -16,20 +23,30 @@ import time
 
 import numpy as np
 
+V5E_PEAK_FLOPS = 197e12  # bf16; f32 via MXU passthrough is ~half
 
-def bench_bic(batch: int = 8192, iters: int = 6) -> float:
+
+def _sim_dataset(n: int, cases: int = 5000, seed: int = 0):
+    from dags_vae_search_tpu.graphs import sampler
+    from dags_vae_search_tpu.scoring import catalog
+
+    rng = np.random.default_rng(seed)
+    _, adj = sampler.sample_er_batch(rng, 1, n, 2 * n, n)
+    cards = np.full(n, 2, dtype=np.int64)
+    return catalog.simulate_dataset(rng, adj[0], cards, cases)
+
+
+def bench_bic(dataset, n: int, batch: int = 8192, iters: int = 6) -> float:
     import jax
     import jax.numpy as jnp
 
     from dags_vae_search_tpu.graphs import sampler
     from dags_vae_search_tpu.scoring.bic import BicScorer
-    from dags_vae_search_tpu.scoring.datasets import load_target_csv
 
-    dataset = load_target_csv("/root/reference/data/bn_asia/target.csv")
-    scorer = BicScorer(dataset)
+    scorer = BicScorer(dataset, max_parents=8)
     rng = np.random.default_rng(0)
     batches = [
-        jnp.asarray(sampler.sample_er_batch(rng, batch, 8, 10, 8)[1])
+        jnp.asarray(sampler.sample_er_batch(rng, batch, n, 2 * n, n)[1])
         for _ in range(iters)
     ]
     scorer.score(batches[0]).block_until_ready()
@@ -61,20 +78,31 @@ def bench_family_table(batch: int = 65536, iters: int = 5) -> float:
     return batch * iters / (time.time() - t0)
 
 
-def bench_train(batch: int = 256, steps: int = 30) -> float:
+def bench_train(n: int = 8, batch: int = 256, steps: int = 30) -> dict:
+    """Train-step timing for an n-vertex model; returns rate + step_ms +
+    a rough MFU estimate (fwd 2·P·L + bwd 4·P·L matmul FLOPs per graph)."""
     import jax
     import jax.numpy as jnp
 
     from dags_vae_search_tpu.graphs import sampler
-    from dags_vae_search_tpu.models.pace_vae import make_asia_model
-    from dags_vae_search_tpu.training import data as data_lib
+    from dags_vae_search_tpu.models.pace_vae import PaceVAE
     from dags_vae_search_tpu.training.train import TrainConfig, Trainer
 
     rng = np.random.default_rng(0)
-    labels, adj = sampler.sample_er_batch(rng, batch, 8, 10, 8)
-    model = make_asia_model()
+    labels, adj = sampler.sample_er_batch(rng, batch, n, 2 * n, n)
+    if n == 8:
+        from dags_vae_search_tpu.models.pace_vae import make_asia_model
+
+        model = make_asia_model()
+    else:
+        model = PaceVAE(
+            num_real_vertices=n,
+            real_label_cardinality=n,
+            latent_size=64 if n <= 128 else 128,
+        )
     trainer = Trainer(model, TrainConfig(batch_size=batch, log_every=0))
     state = trainer.init_state(jax.random.PRNGKey(0), labels[:2], adj[:2])
+    params = sum(x.size for x in jax.tree.leaves(state.params))
     lb, ad = jnp.asarray(labels), jnp.asarray(adj)
     key = jax.random.PRNGKey(1)
     state, _ = trainer._train_step(state, lb, ad, key)  # compile
@@ -85,13 +113,30 @@ def bench_train(batch: int = 256, steps: int = 30) -> float:
             state, lb, ad, jax.random.fold_in(key, i)
         )
     jax.block_until_ready(metrics["loss"])
-    return batch * steps / (time.time() - t0)
+    dt = time.time() - t0
+    step_s = dt / steps
+    flops_per_step = 6.0 * params * (n + 3) * batch
+    return {
+        "graphs_per_sec": batch * steps / dt,
+        "step_ms": 1e3 * step_s,
+        "params": params,
+        "mfu_est": flops_per_step / step_s / V5E_PEAK_FLOPS,
+    }
 
 
 def main():
-    bic_rate = bench_bic()
+    bic_rate = bench_bic(
+        __import__(
+            "dags_vae_search_tpu.scoring.datasets", fromlist=["load_target_csv"]
+        ).load_target_csv("/root/reference/data/bn_asia/target.csv"),
+        n=8,
+    )
+    bic_alarm = bench_bic(_sim_dataset(37), n=37, batch=4096, iters=4)
+    bic_hepar2 = bench_bic(_sim_dataset(70), n=70, batch=2048, iters=4)
     table_rate = bench_family_table()
-    train_rate = bench_train()
+    train_asia = bench_train(n=8, batch=256, steps=30)
+    train_hepar2 = bench_train(n=70, batch=64, steps=10)
+    train_link = bench_train(n=724, batch=8, steps=3)
     baseline_bic = 10.0  # ~1 R subprocess / 100 ms per candidate
     baseline_train = 171.5  # 5.36 it/s * batch 32 (reference comment trace)
     print(
@@ -101,9 +146,25 @@ def main():
                 "value": round(bic_rate, 1),
                 "unit": "DAGs/s",
                 "vs_baseline": round(bic_rate / baseline_bic, 1),
+                "bic_evals_per_sec_alarm_n37": round(bic_alarm, 1),
+                "bic_evals_per_sec_hepar2_n70": round(bic_hepar2, 1),
                 "family_table_evals_per_sec": round(table_rate, 1),
-                "train_graphs_per_sec": round(train_rate, 1),
-                "train_vs_baseline": round(train_rate / baseline_train, 1),
+                "train_graphs_per_sec": round(train_asia["graphs_per_sec"], 1),
+                "train_vs_baseline": round(
+                    train_asia["graphs_per_sec"] / baseline_train, 1
+                ),
+                "train_step_ms_asia_b256": round(train_asia["step_ms"], 2),
+                "train_mfu_asia": round(train_asia["mfu_est"], 4),
+                "train_step_ms_hepar2_b64": round(train_hepar2["step_ms"], 2),
+                "train_graphs_per_sec_hepar2": round(
+                    train_hepar2["graphs_per_sec"], 1
+                ),
+                "train_mfu_hepar2": round(train_hepar2["mfu_est"], 4),
+                "train_step_ms_link_b8": round(train_link["step_ms"], 2),
+                "train_graphs_per_sec_link": round(
+                    train_link["graphs_per_sec"], 1
+                ),
+                "train_mfu_link": round(train_link["mfu_est"], 4),
             }
         )
     )
@@ -111,3 +172,5 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+

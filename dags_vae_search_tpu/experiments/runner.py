@@ -33,9 +33,19 @@ import numpy as np
 
 
 class ExperimentRunner:
-    def __init__(self, config, data_dir: Optional[str] = None):
+    def __init__(
+        self,
+        config,
+        data_dir: Optional[str] = None,
+        variant: Optional[str] = None,
+    ):
         self.config = config
-        self.root = os.path.join(data_dir or config.data_dir, config.name)
+        base = os.path.join(data_dir or config.data_dir, config.name)
+        # A variant writes its artifacts under <exp>@<variant> but reads
+        # shared inputs (corpus, splits, simulated dataset) from the base
+        # experiment when it has not produced its own.
+        self.base_root = base
+        self.root = f"{base}@{variant}" if variant else base
         os.makedirs(self.root, exist_ok=True)
         self._model = None
         self._dataset = None
@@ -45,6 +55,14 @@ class ExperimentRunner:
 
     def path(self, *parts: str) -> str:
         return os.path.join(self.root, *parts)
+
+    def data_path(self, *parts: str) -> str:
+        """Variant-local path if present, else the base experiment's."""
+        local = os.path.join(self.root, *parts)
+        if os.path.exists(local) or self.root == self.base_root:
+            return local
+        shared = os.path.join(self.base_root, *parts)
+        return shared if os.path.exists(shared) else local
 
     def report(self, stage: str, payload: dict) -> None:
         payload = {"stage": stage, "time": time.time(), **payload}
@@ -75,7 +93,7 @@ class ExperimentRunner:
             self._dataset = load_target_csv(self.config.dataset_csv)
             return self._dataset
 
-        sim_codes = self.path("simulated_codes.npz")
+        sim_codes = self.data_path("simulated_codes.npz")
         if os.path.exists(sim_codes):
             blob = np.load(sim_codes)
             self._dataset = DiscreteDataset(
@@ -144,7 +162,7 @@ class ExperimentRunner:
     def _load_corpus(self, split: str):
         from dags_vae_search_tpu.training import data as data_lib
 
-        return data_lib.load_corpus(self.path(split))
+        return data_lib.load_corpus(self.data_path(split))
 
     def _to_columns(self, labels: np.ndarray, adj: np.ndarray) -> np.ndarray:
         """Graph -> dataset-column space (identity for unlabeled corpora)."""
@@ -322,6 +340,7 @@ class ExperimentRunner:
         import jax
         import jax.numpy as jnp
 
+        from dags_vae_search_tpu.scoring.bic import relabel_to_columns
         from dags_vae_search_tpu.search import hillclimb, islands
 
         scorer = self.scorer()
@@ -357,16 +376,42 @@ class ExperimentRunner:
                 "seconds": time.time() - t0,
             }
 
-        # Structure-space: batched greedy hill climbing (certified local opt).
-        t0 = time.time()
-        hc = hillclimb.hill_climb(
-            fast_scorer, n_vars, max_iters=cfg.hill_climb_iters,
+        # Structure-space: greedy hill climbing (certified local optimum).
+        # Dense batched moves up to mid n; family-delta climbing beyond
+        # (the dense candidate tensors are O(n^4) — see delta_hillclimb).
+        from dags_vae_search_tpu.scoring.family_batch import FamilyBatchScorer
+        from dags_vae_search_tpu.search.delta_hillclimb import delta_hill_climb
+
+        use_delta = n_vars > 48
+        fam_scorer = FamilyBatchScorer(
+            self.scoring_dataset(),
+            max_parents=cfg.max_parents or 8,
+            q_cap=scorer.q_cap,
         )
+
+        def climb(init_adj=None, max_iters=None):
+            if use_delta:
+                return delta_hill_climb(
+                    fam_scorer,
+                    n_vars,
+                    init_adj=init_adj,
+                    max_iters=max_iters or max(cfg.hill_climb_iters, 4 * n_vars),
+                )
+            return hillclimb.hill_climb(
+                fast_scorer,
+                n_vars,
+                init_adj=init_adj,
+                max_iters=max_iters or cfg.hill_climb_iters,
+            )
+
+        t0 = time.time()
+        hc = climb()
         result_payload["hill_climb"] = {
             "best_bic": float(scorer.score_exact(hc.best_adj[None])[0]),
             "iterations": hc.iterations,
             "evals": hc.num_evals,
             "seconds": time.time() - t0,
+            "impl": "delta" if use_delta else "dense",
         }
 
         # Latent-space: island CEM through the trained VAE decoder, seeded
@@ -381,17 +426,44 @@ class ExperimentRunner:
 
 
             seed_n = min(2048, len(test_corpus))
+            seed_labels = test_corpus.labels[:seed_n]
+            seed_adj = test_corpus.dense_batch(np.arange(seed_n))
             mus, _ = self.model.apply(
                 {"params": state.params},
-                jnp_.asarray(test_corpus.labels[:seed_n]),
-                jnp_.asarray(test_corpus.dense_batch(np.arange(seed_n))),
+                jnp_.asarray(seed_labels),
+                jnp_.asarray(seed_adj),
                 method=PaceVAE.encode,
             )
-            pick = np.random.default_rng(self.config.seed).choice(
-                seed_n, size=cfg.islands, replace=False
-            )
-            init_means = mus[jnp_.asarray(pick)]
             init_sigma = float(jnp_.mean(jnp_.std(mus, axis=0)))
+
+            # Corpus-elite seeding: islands start from the latents of the
+            # best-scoring corpus graphs (by real BIC), with the hill-climb
+            # winner's encoding as one anchor — warm, in-distribution
+            # centers instead of arbitrary corpus picks.
+            from dags_vae_search_tpu.search import latent as latent_mod
+
+            if self.config.label_cardinality == 1:
+                seed_cols = seed_adj
+            else:
+                seed_cols = np.asarray(
+                    relabel_to_columns(
+                        jnp_.asarray(seed_labels), jnp_.asarray(seed_adj)
+                    )
+                )
+            seed_scores = np.asarray(scorer.score(seed_cols))
+            elite_pick = np.argsort(-seed_scores)[: max(cfg.islands - 1, 1)]
+            hc_labels, hc_adj = latent_mod.column_adj_to_labeled(
+                hc.best_adj, np.random.default_rng(self.config.seed + 7)
+            )
+            hc_mu, _ = self.model.apply(
+                {"params": state.params},
+                jnp_.asarray(hc_labels[None]),
+                jnp_.asarray(hc_adj[None]),
+                method=PaceVAE.encode,
+            )
+            init_means = jnp_.concatenate([hc_mu, mus[jnp_.asarray(elite_pick)]])[
+                : cfg.islands
+            ]
 
             t0 = time.time()
             res = islands.island_cem_search(
@@ -420,12 +492,28 @@ class ExperimentRunner:
                 )
             result_payload["island_cem"] = latent_payload
 
+            # Latent-proposes / discrete-polishes hybrid: greedy climb from
+            # the island winner's structure.  This is where the latent space
+            # earns its keep — the decoder proposes a basin, hill climbing
+            # certifies the local optimum inside it.
+            if np.isfinite(res.best_score):
+                t0 = time.time()
+                polish = climb(
+                    init_adj=self._to_columns(res.best_labels, res.best_adj)
+                )
+                result_payload["island_cem_polished"] = {
+                    "best_bic": float(
+                        scorer.score_exact(polish.best_adj[None])[0]
+                    ),
+                    "iterations": polish.iterations,
+                    "evals": polish.num_evals,
+                    "seconds": time.time() - t0,
+                }
+
             # Hybrid: local latent refinement around the hill-climb winner,
             # encoded under several random topological orders (labels must
             # look like the corpus's independent permutations or the anchor
             # lands outside the encoder's training distribution).
-            from dags_vae_search_tpu.search import latent as latent_mod
-
             order_rng = np.random.default_rng(self.config.seed + 5)
             anchor_pairs = [
                 latent_mod.column_adj_to_labeled(hc.best_adj, order_rng)
@@ -591,12 +679,45 @@ def main(argv=None):
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--batch-size", type=int, default=None)
+    # model/optimizer overrides for capacity/schedule sweeps; a non-empty
+    # --variant redirects reports+checkpoints to <data-dir>/<exp>@<variant>
+    # (sharing the base experiment's corpus) so sweeps never clobber the
+    # canonical run.
+    parser.add_argument("--variant", default=None)
+    parser.add_argument("--embed-size", type=int, default=None)
+    parser.add_argument("--num-heads", type=int, default=None)
+    parser.add_argument("--num-layers", type=int, default=None)
+    parser.add_argument("--latent-size", type=int, default=None)
+    parser.add_argument("--fc-hidden", type=int, default=None)
+    parser.add_argument("--dropout", type=float, default=None)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--lr-schedule", choices=["plateau", "cosine"], default=None)
+    parser.add_argument("--warmup-epochs", type=int, default=None)
+    parser.add_argument("--steps-per-call", type=int, default=None)
     args = parser.parse_args(argv)
 
     config = REGISTRY[args.experiment]
     if args.batch_size:
         config.train.batch_size = args.batch_size
-    runner = ExperimentRunner(config, data_dir=args.data_dir)
+    for field_name, arg in (
+        ("embed_size", args.embed_size),
+        ("num_heads", args.num_heads),
+        ("num_layers", args.num_layers),
+        ("latent_size", args.latent_size),
+        ("fc_hidden", args.fc_hidden),
+        ("dropout", args.dropout),
+    ):
+        if arg is not None:
+            setattr(config.model, field_name, arg)
+    for field_name, arg in (
+        ("learning_rate", args.lr),
+        ("lr_schedule", args.lr_schedule),
+        ("warmup_epochs", args.warmup_epochs),
+        ("steps_per_call", args.steps_per_call),
+    ):
+        if arg is not None:
+            setattr(config.train, field_name, arg)
+    runner = ExperimentRunner(config, data_dir=args.data_dir, variant=args.variant)
     for stage in args.stages:
         if stage == "train":
             runner.stage_train(epochs=args.epochs, resume=args.resume)

@@ -60,16 +60,25 @@ def sample_decode(
     z: jnp.ndarray,
     rng: jax.Array,
     constrain_labels: bool = True,
+    temperature=1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode latents to PACE tensors.
 
     Returns (labels int32[B, N], adj float32[B, N, N], finished bool[B])
     over the wrapped (N = real + 3) vertex space.  See the module docstring
     for ``constrain_labels`` semantics.
+
+    ``temperature`` sharpens both sampling heads (logits / T); it may be a
+    traced scalar, so annealing schedules reuse one compiled decode.
+    T <= 1e-3 is the exact mode decode (argmax labels, edges at p > 0.5);
+    T = 1 is the reference's sampling semantics (``pace.py:1710-1728``).
     """
     batch = z.shape[0]
     n = model.max_n
     card = model.cardinality
+    temp = jnp.asarray(temperature, jnp.float32)
+    hard = temp <= 1e-3
+    inv_t = 1.0 / jnp.maximum(temp, 1e-3)
     # Used-label masking only applies when corpus labels are permutations.
     mask_used = (
         constrain_labels
@@ -121,7 +130,11 @@ def sample_decode(
                 disallow, jnp.finfo(type_logits.dtype).min, type_logits
             )
 
-        sampled = jax.random.categorical(k_type, type_logits, axis=-1)
+        sampled = jnp.where(
+            hard,
+            jnp.argmax(type_logits, axis=-1),
+            jax.random.categorical(k_type, type_logits * inv_t, axis=-1),
+        )
         is_output = sampled == LABEL_OUTPUT
         new_label = jnp.where(idx == n - 1, LABEL_OUTPUT, sampled)
         labels = labels.at[:, idx].set(
@@ -129,7 +142,14 @@ def sample_decode(
         )
 
         parent_ok = (slot >= 1) & (slot <= idx - 1)
-        bern = jax.random.uniform(k_edge, edge_probs.shape) < edge_probs
+        p = jnp.clip(edge_probs, 1e-6, 1.0 - 1e-6)
+        edge_logits = jnp.log(p) - jnp.log1p(-p)
+        sharpened = jax.nn.sigmoid(edge_logits * inv_t)
+        bern = jnp.where(
+            hard,
+            edge_probs > 0.5,
+            jax.random.uniform(k_edge, edge_probs.shape) < sharpened,
+        )
         sampled_edges = bern & parent_ok[None, :]
 
         sinks = (jnp.sum(adj, axis=-1) == 0) & (slot < idx)[None, :]
@@ -167,6 +187,7 @@ def decode_to_labeled(
     z: jnp.ndarray,
     rng: jax.Array,
     constrain_labels: bool = True,
+    temperature=1.0,
 ) -> Tuple[DagBatch, jnp.ndarray]:
     """Decode latents to labeled DAGs + validity mask.
 
@@ -175,7 +196,12 @@ def decode_to_labeled(
     holds by construction since sampled edges only point forward).
     """
     labels, adj, _ = sample_decode(
-        model, variables, z, rng, constrain_labels=constrain_labels
+        model,
+        variables,
+        z,
+        rng,
+        constrain_labels=constrain_labels,
+        temperature=temperature,
     )
     unwrapped = pace_unwrap(labels, adj)
     valid = is_valid_labeled(

@@ -1,0 +1,238 @@
+"""Delta hill climbing — greedy structure search that scales to link (n=724).
+
+``search/hillclimb.py`` scores every move as a full candidate adjacency
+([3n^2, n, n] tensors): ideal up to n ~ 70, hopeless at n = 724 (the
+candidate tensor alone is O(n^4)).  This climber exploits the score's
+decomposability the way classical BNSL engines do (bnlearn's ``hc`` with a
+score cache): a single-edge move changes the family score of the CHILD
+only (reversal: both endpoints), so the climber maintains
+
+- ``fam[y]``         — current family score of node y,
+- ``gain_add[x, y]`` — score(y | P_y ∪ {x}) − fam[y],
+- ``gain_del[x, y]`` — score(y | P_y \\ {x}) − fam[y],
+
+and after accepting a move re-scores only the changed children's columns
+(O(n) families via ``scoring/family_batch.py``) instead of all O(n^2)
+moves.  Acyclicity uses an incrementally-maintained transitive closure
+(additions are an O(n^2) outer-product update; deletions/reversals
+recompute the closure in one device call); reversal feasibility is checked
+exactly on the winning candidate only (a reversal x->y is cyclic iff an
+alternative x ~> y path exists, which no cheap incremental test covers).
+
+Reference anchor: the reference has no search at all (SURVEY.md §0); its
+scaling story is the catalog ladder up to link, ``README.md:39-44``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dags_vae_search_tpu.scoring.family_batch import FamilyBatchScorer
+from dags_vae_search_tpu.search.hillclimb import HillClimbResult
+
+NEG_INF = float("-inf")
+
+
+def _closure_bool(adj: np.ndarray) -> np.ndarray:
+    """Boolean transitive closure (paths of length >= 1), host-side."""
+    n = adj.shape[0]
+    reach = adj.astype(bool)
+    power = reach.copy()
+    for _ in range(int(np.ceil(np.log2(max(n, 2))))):
+        power = power @ power
+        new = reach | (reach @ reach)
+        if np.array_equal(new, reach):
+            break
+        reach = new
+    return reach
+
+
+def _parents_padded(adj_col: np.ndarray, width: int) -> np.ndarray:
+    p = np.flatnonzero(adj_col).astype(np.int32)
+    out = np.full(width, -1, np.int32)
+    out[: p.size] = p
+    return out
+
+
+class _DeltaState:
+    def __init__(
+        self,
+        fam: FamilyBatchScorer,
+        adj: np.ndarray,
+        max_parents: int,
+        chunk: int,
+    ):
+        self.fam = fam
+        self.n = adj.shape[0]
+        self.width = max_parents + 1
+        self.max_parents = max_parents
+        self.chunk = chunk
+        self.adj = adj.astype(bool)
+        self.reach = _closure_bool(self.adj)
+        self.evals = 0
+
+        n = self.n
+        base_parents = np.stack(
+            [_parents_padded(self.adj[:, y], self.width) for y in range(n)]
+        )
+        self.fam_score = self._score(
+            np.arange(n, dtype=np.int32), base_parents
+        ).astype(np.float64)
+        self.gain_add = np.full((n, n), NEG_INF)
+        self.gain_del = np.full((n, n), NEG_INF)
+        for y in range(n):
+            self._refresh_child(y)
+
+    def _score(self, children, parents) -> np.ndarray:
+        self.evals += len(children)
+        return self.fam.score_chunked(children, parents, chunk=self.chunk)
+
+    def _refresh_child(self, y: int) -> None:
+        """Recompute gain_add[:, y] and gain_del[:, y] for child y."""
+        n, w = self.n, self.width
+        cur = np.flatnonzero(self.adj[:, y]).astype(np.int32)
+        k = cur.size
+
+        children = []
+        parents = []
+        add_rows = []
+        if k < self.max_parents:
+            for x in range(n):
+                if x == y or self.adj[x, y]:
+                    continue
+                row = np.full(w, -1, np.int32)
+                row[:k] = cur
+                row[k] = x
+                children.append(y)
+                parents.append(row)
+                add_rows.append(x)
+        del_rows = []
+        for x in cur:
+            row = np.full(w, -1, np.int32)
+            rest = cur[cur != x]
+            row[: rest.size] = rest
+            children.append(y)
+            parents.append(row)
+            del_rows.append(int(x))
+
+        self.gain_add[:, y] = NEG_INF
+        self.gain_del[:, y] = NEG_INF
+        if not children:
+            return
+        scores = self._score(
+            np.asarray(children, np.int32), np.stack(parents)
+        ).astype(np.float64)
+        na = len(add_rows)
+        if na:
+            self.gain_add[np.asarray(add_rows), y] = (
+                scores[:na] - self.fam_score[y]
+            )
+        if del_rows:
+            self.gain_del[np.asarray(del_rows), y] = (
+                scores[na:] - self.fam_score[y]
+            )
+
+    # ----------------------------------------------------------- moves
+
+    def feasible_deltas(self):
+        n = self.n
+        indeg = self.adj.sum(0)
+        no_edge = ~self.adj & ~self.adj.T & ~np.eye(n, dtype=bool)
+        can_add = no_edge & ~self.reach.T & (indeg[None, :] < self.max_parents)
+        add = np.where(can_add, self.gain_add, NEG_INF)
+        dele = np.where(self.adj, self.gain_del, NEG_INF)
+        # reversal x->y: child y loses x, child x gains y
+        can_rev = self.adj & (self.adj.sum(0)[:, None] < self.max_parents)
+        rev = np.where(can_rev, self.gain_del + self.gain_add.T, NEG_INF)
+        return add, dele, rev
+
+    def reversal_acyclic(self, x: int, y: int) -> bool:
+        trial = self.adj.copy()
+        trial[x, y] = False
+        trial[y, x] = True
+        reach = _closure_bool(trial)
+        return not bool(reach.diagonal().any())
+
+    def apply(self, kind: str, x: int, y: int) -> None:
+        if kind == "add":
+            self.fam_score[y] += self.gain_add[x, y]
+            self.adj[x, y] = True
+            # new paths u ~> x -> y ~> w
+            col = self.reach[:, x].copy()
+            col[x] = True
+            row = self.reach[y, :].copy()
+            row[y] = True
+            self.reach |= np.outer(col, row)
+            self._refresh_child(y)
+        elif kind == "del":
+            self.fam_score[y] += self.gain_del[x, y]
+            self.adj[x, y] = False
+            self.reach = _closure_bool(self.adj)
+            self._refresh_child(y)
+        else:  # reversal x->y  =>  y->x
+            self.fam_score[y] += self.gain_del[x, y]
+            self.fam_score[x] += self.gain_add[y, x]
+            self.adj[x, y] = False
+            self.adj[y, x] = True
+            self.reach = _closure_bool(self.adj)
+            self._refresh_child(y)
+            self._refresh_child(x)
+
+
+def delta_hill_climb(
+    fam: FamilyBatchScorer,
+    num_variables: int,
+    init_adj: np.ndarray | None = None,
+    max_iters: int = 5000,
+    min_improvement: float = 1e-4,
+    chunk: int = 4096,
+) -> HillClimbResult:
+    """Greedy best-move climb using cached family deltas.
+
+    Same result contract as ``hillclimb.hill_climb``; ``num_evals`` counts
+    family evaluations (each is one node-score, ~n-fold cheaper than a full
+    candidate evaluation there).
+    """
+    n = num_variables
+    adj0 = (
+        np.zeros((n, n), bool)
+        if init_adj is None
+        else np.asarray(init_adj) > 0
+    )
+    state = _DeltaState(fam, adj0, fam.max_parents, chunk)
+    history = [float(state.fam_score.sum())]
+
+    for it in range(max_iters):
+        add, dele, rev = state.feasible_deltas()
+        while True:
+            deltas = np.stack(
+                [add.max(initial=NEG_INF), dele.max(initial=NEG_INF),
+                 rev.max(initial=NEG_INF)]
+            )
+            kind_i = int(np.argmax(deltas))
+            best_delta = float(deltas[kind_i])
+            if not np.isfinite(best_delta) or best_delta <= min_improvement:
+                return HillClimbResult(
+                    best_score=float(state.fam_score.sum()),
+                    best_adj=state.adj.astype(np.float32),
+                    iterations=it,
+                    num_evals=state.evals,
+                    history=history,
+                )
+            kind = ("add", "del", "rev")[kind_i]
+            mat = (add, dele, rev)[kind_i]
+            x, y = np.unravel_index(int(np.argmax(mat)), mat.shape)
+            if kind == "rev" and not state.reversal_acyclic(int(x), int(y)):
+                rev[x, y] = NEG_INF  # cyclic via an alternative path
+                continue
+            break
+        state.apply(kind, int(x), int(y))
+        history.append(float(state.fam_score.sum()))
+
+    return HillClimbResult(
+        best_score=float(state.fam_score.sum()),
+        best_adj=state.adj.astype(np.float32),
+        iterations=max_iters,
+        num_evals=state.evals,
+        history=history,
+    )

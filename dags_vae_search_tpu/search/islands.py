@@ -46,8 +46,20 @@ def island_cem_search(
     migrate_every: int = 5,
     mesh: Optional[Mesh] = None,
     init_means: Optional[jnp.ndarray] = None,
+    temperature_range: tuple = (1.0, 0.25),
+    exploit_repeats: int = 32,
 ) -> SearchResult:
-    """Multi-island CEM with periodic best-latent migration."""
+    """Multi-island CEM with periodic best-latent migration.
+
+    Decode temperature anneals linearly over ``temperature_range`` across
+    iterations (explore with the training distribution, exploit with a
+    near-mode decode late); the temperature is a traced scalar so the whole
+    schedule reuses one compiled iteration.  After the CEM loop an exploit
+    phase re-decodes each island's incumbent best_z ``exploit_repeats``
+    times at low temperature — the sampling decoder is stochastic, so the
+    best structure reachable from a good latent is usually found by
+    repeated sharp decodes rather than by one lucky population draw.
+    """
     nz = model.latent_size
     n_elite = max(1, int(population * elite_frac))
 
@@ -67,13 +79,13 @@ def island_cem_search(
         shard = NamedSharding(mesh, P("data"))
         state = jax.tree.map(lambda x: jax.device_put(x, shard), state)
 
-    def iteration(state: IslandState, key, migrate: bool):
+    def iteration(state: IslandState, key, temp, migrate: bool):
         k_z, k_d = jax.random.split(key)
         noise = jax.random.normal(k_z, (num_islands, population, nz))
         z = state.mean[:, None, :] + state.sigma[:, None, :] * noise
         flat_z = z.reshape(num_islands * population, nz)
         scores, labels, adj = decode_and_score(
-            model, variables, scorer, flat_z, k_d
+            model, variables, scorer, flat_z, k_d, temperature=temp
         )
         scores = scores.reshape(num_islands, population)
         labels = labels.reshape(num_islands, population, -1)
@@ -118,14 +130,53 @@ def island_cem_search(
 
         return IslandState(mean, sigma, best_score, best_z, best_labels, best_adj)
 
-    step_plain = jax.jit(lambda s, k: iteration(s, k, False))
-    step_migrate = jax.jit(lambda s, k: iteration(s, k, True))
+    step_plain = jax.jit(lambda s, k, t: iteration(s, k, t, False))
+    step_migrate = jax.jit(lambda s, k, t: iteration(s, k, t, True))
 
+    t_hi, t_lo = temperature_range
     history = []
     for it in range(iters):
         key, sub = jax.random.split(key)
+        frac = it / max(iters - 1, 1)
+        temp = jnp.asarray(t_hi + (t_lo - t_hi) * frac, jnp.float32)
         step = step_migrate if (it + 1) % migrate_every == 0 else step_plain
-        state = step(state, sub)
+        state = step(state, sub, temp)
+        history.append(float(jnp.max(state.best_score)))
+
+    evals = iters * num_islands * population
+    if exploit_repeats > 0:
+        # Sharp re-decodes of every island's incumbent latent; fold any
+        # improvement back into the island state before the final argmax.
+        rep_z = jnp.repeat(state.best_z, exploit_repeats, axis=0)
+        key, k_d = jax.random.split(key)
+        scores, labels, adj = decode_and_score(
+            model, variables, scorer, rep_z, k_d,
+            temperature=jnp.asarray(min(t_lo, 0.1), jnp.float32),
+        )
+        evals += rep_z.shape[0]
+        scores = scores.reshape(num_islands, exploit_repeats)
+        labels = labels.reshape(num_islands, exploit_repeats, -1)
+        adj = adj.reshape(
+            num_islands, exploit_repeats, adj.shape[-2], adj.shape[-1]
+        )
+        r_best = jnp.argmax(scores, axis=1)
+        r_score = jnp.take_along_axis(scores, r_best[:, None], axis=1)[:, 0]
+        improved = r_score > state.best_score
+        state = state._replace(
+            best_score=jnp.where(improved, r_score, state.best_score),
+            best_labels=jnp.where(
+                improved[:, None],
+                jnp.take_along_axis(labels, r_best[:, None, None], axis=1)[:, 0],
+                state.best_labels,
+            ),
+            best_adj=jnp.where(
+                improved[:, None, None],
+                jnp.take_along_axis(
+                    adj, r_best[:, None, None, None], axis=1
+                )[:, 0],
+                state.best_adj,
+            ),
+        )
         history.append(float(jnp.max(state.best_score)))
 
     g_idx = int(jnp.argmax(state.best_score))
@@ -134,6 +185,6 @@ def island_cem_search(
         best_labels=np.asarray(state.best_labels[g_idx]),
         best_adj=np.asarray(state.best_adj[g_idx]),
         best_z=np.asarray(state.best_z[g_idx]),
-        num_evals=iters * num_islands * population,
+        num_evals=evals,
         history=history,
     )

@@ -44,6 +44,7 @@ def decode_and_score(
     scorer: BicScorer,
     z: jnp.ndarray,
     rng: jax.Array,
+    temperature=1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Scores float32[B] (-inf for invalid decodes), labels, adj.
 
@@ -52,7 +53,9 @@ def decode_and_score(
     Decodes with duplicate/missing labels would alias vertices under the
     label permutation and score a bogus merged structure, so they get -inf.
     """
-    recon, valid = decode_to_labeled(model, variables, z, rng)
+    recon, valid = decode_to_labeled(
+        model, variables, z, rng, temperature=temperature
+    )
     if model.real_label_cardinality == 1:
         # Unlabeled corpora (e.g. synthetic_12): slot i IS column i.
         scores = jnp.where(valid, scorer.score(recon.adj), -jnp.inf)

@@ -27,6 +27,8 @@ from jax.sharding import Mesh
 from dags_vae_search_tpu.models.pace_vae import PaceVAE
 from dags_vae_search_tpu.parallel import mesh as mesh_lib
 from dags_vae_search_tpu.training import data as data_lib
+from dags_vae_search_tpu.utils.debug import nan_guard
+from dags_vae_search_tpu.utils.profiling import StepTimer, annotate
 
 
 @dataclass
@@ -40,6 +42,11 @@ class TrainConfig:
     plateau_patience: int = 10
     plateau_threshold: float = 1e-4
     min_learning_rate: float = 0.0
+    # 'plateau' (reference parity) or 'cosine' (linear warmup_epochs then
+    # cosine decay to min_learning_rate) — both drive the same injected
+    # Adam hyperparam host-side, so switching never recompiles the step.
+    lr_schedule: str = "plateau"
+    warmup_epochs: int = 5
     seed: int = 42
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 1
@@ -66,6 +73,18 @@ class PlateauState(NamedTuple):
             new_lr = max(self.lr * config.plateau_factor, config.min_learning_rate)
             return PlateauState(self.best, 0, new_lr)
         return PlateauState(self.best, bad, self.lr)
+
+
+def cosine_lr(epoch: int, total_epochs: int, config: "TrainConfig") -> float:
+    """Linear warmup then cosine decay, computed per epoch (1-indexed)."""
+    peak = config.learning_rate
+    floor = config.min_learning_rate
+    warm = max(config.warmup_epochs, 0)
+    if warm and epoch <= warm:
+        return peak * epoch / warm
+    span = max(total_epochs - warm, 1)
+    t = min(max(epoch - warm, 0) / span, 1.0)
+    return floor + 0.5 * (peak - floor) * (1.0 + float(np.cos(np.pi * t)))
 
 
 class TrainState(NamedTuple):
@@ -253,10 +272,17 @@ class Trainer:
                 corpus_labels = jnp.asarray(corpus.labels)
                 corpus_adj = jnp.asarray(corpus.adj)
 
+        horizon = start_epoch + epochs - 1
         for epoch in range(start_epoch, start_epoch + epochs):
+            if config.lr_schedule == "cosine":
+                lr_now = cosine_lr(epoch, horizon, config)
+                if lr_now != plateau.lr:
+                    state = self.set_learning_rate(state, lr_now)
+                    plateau = plateau._replace(lr=lr_now)
             last = None
             batches = 0
             epoch_t0 = time.time()
+            timer = StepTimer(window=10_000)
             if device_loop:
                 b = config.batch_size
                 steps = len(corpus) // b
@@ -279,9 +305,11 @@ class Trainer:
                             ),
                         )
                     key, sub = jax.random.split(key)
-                    state, stacked = self._chunk_step(
-                        state, corpus_labels, corpus_adj, block, sub
-                    )
+                    with timer.step(items=k), annotate("train_chunk"):
+                        state, stacked = self._chunk_step(
+                            state, corpus_labels, corpus_adj, block, sub
+                        )
+                        jax.block_until_ready(stacked)
                     batches += k
                     # log when a multiple of log_every was crossed this chunk
                     if config.log_every and (
@@ -317,7 +345,11 @@ class Trainer:
                     else:
                         labels, adj = jnp.asarray(labels), jnp.asarray(adj)
                     key, sub = jax.random.split(key)
-                    state, metrics = self._train_step(state, labels, adj, sub)
+                    # no per-step device sync: dispatches pipeline through
+                    # the remote device; the timer here measures dispatch
+                    # cost, and true step time comes from the epoch clock.
+                    with timer.step(items=1), annotate("train_step"):
+                        state, metrics = self._train_step(state, labels, adj, sub)
                     last = metrics
                     batches += 1
                     if config.log_every and batches % config.log_every == 0:
@@ -329,11 +361,14 @@ class Trainer:
                         )
 
             loss_value = float(last["loss"]) if last is not None else float("nan")
-            new_plateau = plateau.step(loss_value, config)
-            if new_plateau.lr != plateau.lr:
-                log(f"epoch {epoch}: reducing lr to {new_plateau.lr:.2e}")
-                state = self.set_learning_rate(state, new_plateau.lr)
-            plateau = new_plateau
+            if not np.isfinite(loss_value):
+                nan_guard(last, name=f"epoch {epoch} metrics")
+            if config.lr_schedule == "plateau":
+                new_plateau = plateau.step(loss_value, config)
+                if new_plateau.lr != plateau.lr:
+                    log(f"epoch {epoch}: reducing lr to {new_plateau.lr:.2e}")
+                    state = self.set_learning_rate(state, new_plateau.lr)
+                plateau = new_plateau
 
             epoch_dt = time.time() - epoch_t0
             entry = {
@@ -343,6 +378,11 @@ class Trainer:
                 "kld_per_graph": float(last["kld"]) / config.batch_size,
                 "epoch_seconds": epoch_dt,
                 "graphs_per_second": batches * config.batch_size / epoch_dt,
+                # measured per-optimizer-step time: synchronous (true) on the
+                # device-loop path, dispatch-side on the per-step path.
+                "step_ms": 1e3 * epoch_dt / max(batches, 1),
+                "dispatch_ms": 1e3 * timer.mean_step_seconds()
+                / max(config.steps_per_call if device_loop else 1, 1),
                 "lr": plateau.lr,
             }
             history.append(entry)

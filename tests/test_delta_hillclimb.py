@@ -1,0 +1,80 @@
+"""Family-batch scoring + delta hill climbing (large-n structure search)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from dags_vae_search_tpu.graphs import sampler
+from dags_vae_search_tpu.scoring import catalog
+from dags_vae_search_tpu.scoring.bic import BicScorer
+from dags_vae_search_tpu.scoring.family_batch import FamilyBatchScorer
+from dags_vae_search_tpu.search import hillclimb
+from dags_vae_search_tpu.search.delta_hillclimb import (
+    _closure_bool,
+    delta_hill_climb,
+)
+
+
+def _setup(n=7, seed=0, cases=2000, max_parents=4):
+    rng = np.random.default_rng(seed)
+    cards = rng.integers(2, 4, size=n)
+    _, truth = sampler.sample_er_batch(rng, 1, n, n + 2, n)
+    ds = catalog.simulate_dataset(rng, truth[0], cards, cases)
+    bs = BicScorer(ds, max_parents=max_parents)
+    fb = FamilyBatchScorer(ds, max_parents=max_parents, q_cap=bs.q_cap)
+    return rng, ds, bs, fb
+
+
+def test_family_batch_matches_score_nodes():
+    rng, ds, bs, fb = _setup()
+    n = ds.num_variables
+    _, adjs = sampler.sample_er_batch(rng, 16, n, n + 3, n)
+    node_scores = np.asarray(bs.score_nodes(jnp.asarray(adjs)))
+    for b in range(adjs.shape[0]):
+        children, parents = [], []
+        for y in range(n):
+            ps = np.flatnonzero(adjs[b][:, y])
+            row = np.full(fb.max_parents + 1, -1, np.int32)
+            row[: ps.size] = ps
+            children.append(y)
+            parents.append(row)
+        fs = np.asarray(fb.score(np.asarray(children, np.int32), np.stack(parents)))
+        np.testing.assert_allclose(fs, node_scores[b], rtol=1e-4, atol=1e-3)
+
+
+def test_family_batch_infeasible_q_cap():
+    _, ds, bs, fb = _setup(max_parents=4)
+    # a family whose parent-config space exceeds q_cap must be -inf
+    small = FamilyBatchScorer(ds, max_parents=6, q_cap=4)
+    row = np.asarray([[0, 1, 2, 3, 4, -1, -1]], np.int32)
+    out = np.asarray(small.score(np.asarray([5], np.int32), row))
+    assert out[0] == -np.inf
+
+
+def test_delta_hill_climb_matches_dense():
+    _, ds, bs, fb = _setup()
+    n = ds.num_variables
+    hc = hillclimb.hill_climb(bs, n, max_iters=100)
+    dhc = delta_hill_climb(fb, n, max_iters=300)
+    exact_hc = float(bs.score_exact(hc.best_adj[None])[0])
+    exact_dhc = float(bs.score_exact(dhc.best_adj[None])[0])
+    # both are greedy best-move climbers over the same move set
+    assert exact_dhc >= exact_hc - 1e-6
+    # internal delta bookkeeping must agree with exact rescoring
+    assert abs(exact_dhc - dhc.best_score) < 1.0
+    # delta climbing touches ~n-fold fewer (and cheaper) evaluations
+    assert dhc.num_evals < hc.num_evals
+
+
+def test_delta_hill_climb_from_init_and_acyclicity():
+    _, ds, bs, fb = _setup(seed=3)
+    n = ds.num_variables
+    rng = np.random.default_rng(1)
+    _, init = sampler.sample_er_batch(rng, 1, n, n + 2, n)
+    res = delta_hill_climb(fb, n, init_adj=init[0], max_iters=200)
+    adj = res.best_adj
+    # result is a DAG within the in-degree cap
+    reach = _closure_bool(adj > 0)
+    assert not reach.diagonal().any()
+    assert (adj.sum(0) <= fb.max_parents).all()
+    init_score = float(bs.score_exact(init[0][None])[0])
+    assert res.best_score >= init_score - 1e-6

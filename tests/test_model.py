@@ -207,3 +207,33 @@ def test_constrained_decode_unlabeled_cardinality_one():
     recon, valid = decode_to_labeled(model, variables, z, jax.random.PRNGKey(2))
     assert bool(np.all(np.asarray(valid)))
     assert np.all(np.asarray(recon.labels) == 0)
+
+
+def test_low_temperature_decode_is_deterministic():
+    # temperature -> 0 approaches the mode decode: two different sampling
+    # keys must produce identical structures (logit ties are measure-zero).
+    n = 10
+    model = PaceVAE(
+        num_real_vertices=n, real_label_cardinality=n,
+        embed_size=16, num_heads=4, num_layers=2, latent_size=16, fc_hidden=16,
+    )
+    rng = np.random.default_rng(3)
+    labels, adj = sampler.sample_er_batch(rng, 4, n, n + 4, n)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(labels), jnp.asarray(adj)
+    )
+    z = jax.random.normal(jax.random.PRNGKey(1), (8, model.latent_size))
+    r1, _ = decode_to_labeled(
+        model, variables, z, jax.random.PRNGKey(2), temperature=1e-3
+    )
+    r2, _ = decode_to_labeled(
+        model, variables, z, jax.random.PRNGKey(99), temperature=1e-3
+    )
+    assert np.array_equal(np.asarray(r1.labels), np.asarray(r2.labels))
+    assert np.array_equal(np.asarray(r1.adj), np.asarray(r2.adj))
+    # temperature is a traced scalar: same compiled fn must serve t=1.0.
+    r3, _ = decode_to_labeled(
+        model, variables, z, jax.random.PRNGKey(2),
+        temperature=jnp.asarray(1.0),
+    )
+    assert np.asarray(r3.labels).shape == np.asarray(r1.labels).shape

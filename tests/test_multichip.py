@@ -30,8 +30,9 @@ def test_island_search_sharded_over_mesh():
         model, variables, scorer, jax.random.PRNGKey(1),
         num_islands=8, population=8, iters=3, migrate_every=2, mesh=mesh,
     )
-    assert res.num_evals == 8 * 8 * 3
-    assert len(res.history) == 3
+    # 3 CEM iters + the low-temperature exploit pass (32 repeats/island)
+    assert res.num_evals == 8 * 8 * 3 + 8 * 32
+    assert len(res.history) == 4
 
 
 def test_graft_entry_dryrun():

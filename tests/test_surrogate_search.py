@@ -166,9 +166,18 @@ def test_island_cem_search_runs():
     res = islands.island_cem_search(
         model, variables, scorer, jax.random.PRNGKey(0),
         num_islands=4, population=16, iters=4, migrate_every=2,
+        exploit_repeats=8,
     )
-    assert res.num_evals == 4 * 16 * 4
-    assert len(res.history) == 4
+    # iters x islands x population CEM evals + islands x repeats exploit
+    assert res.num_evals == 4 * 16 * 4 + 4 * 8
+    assert len(res.history) == 5  # 4 CEM iters + exploit entry
+    res_plain = islands.island_cem_search(
+        model, variables, scorer, jax.random.PRNGKey(0),
+        num_islands=4, population=16, iters=2, migrate_every=2,
+        exploit_repeats=0,
+    )
+    assert res_plain.num_evals == 4 * 16 * 2
+    assert len(res_plain.history) == 2
 
 
 def test_exact_search_brute_force_parity():
