@@ -93,26 +93,33 @@ def build_registry() -> Dict[str, ExperimentConfig]:
         search=SearchConfig(max_parents=8),
     )
 
-    # medium nets (BASELINE.json config 3) — density cap 0.2.
+    # medium nets (BASELINE.json config 3) — density cap 0.2.  The r1
+    # recipe (embed 32/layers 3/lr 1e-4/60 epochs) plateaued at loss ~79
+    # per graph with zero reconstruction; the doubled model + 3e-4 cosine
+    # reaches loss ~4 within 30 epochs (runs/child@big probe).
     for name in ("child", "alarm"):
         registry[name] = _catalog_experiment(
             name,
             corpus_batch=64,
             steps=20,
-            train=TrainConfig(batch_size=64, epochs=60, learning_rate=1e-4,
+            train=TrainConfig(batch_size=128, epochs=120, learning_rate=3e-4,
+                              lr_schedule="cosine", warmup_epochs=3,
                               steps_per_call=50),
-            model=ModelConfig(latent_size=64),
+            model=ModelConfig(embed_size=64, num_layers=4, latent_size=128,
+                              fc_hidden=64),
         )
 
-    # large nets (config 4) — density cap 0.1.
+    # large nets (config 4) — density cap 0.1; same scaled recipe.
     for name in ("hepar2", "win95pts"):
         registry[name] = _catalog_experiment(
             name,
             corpus_batch=32,
             steps=16,
-            train=TrainConfig(batch_size=64, epochs=40, learning_rate=1e-4,
+            train=TrainConfig(batch_size=128, epochs=80, learning_rate=3e-4,
+                              lr_schedule="cosine", warmup_epochs=3,
                               steps_per_call=50),
-            model=ModelConfig(latent_size=64),
+            model=ModelConfig(embed_size=64, num_layers=4, latent_size=128,
+                              fc_hidden=64),
         )
 
     # very large nets (config 5) — density cap 0.05; blocked closures,

@@ -73,6 +73,14 @@ class PaceVAE(nn.Module):
     dropout: float = 0.15
     beta: float = 0.005
     epsilon_scale: float = 0.01
+    # 'v3' = BCE-with-logits edge likelihood (PaceVaeV2/V3,
+    # pace.py:1965-1967); 'v1' = BCE on sigmoid probabilities with torch's
+    # log clamp at -100 (PaceVae V1, pace.py:607-608 via
+    # F.binary_cross_entropy).  On this package's fixed-size corpora the
+    # three reference loss generations otherwise compute identical sums
+    # (V1's per-graph loop and V2's per-graph meshgrid are vectorization
+    # differences only), so one flag covers the whole family.
+    loss_variant: str = "v3"
 
     @property
     def max_n(self) -> int:
@@ -258,10 +266,22 @@ class PaceVAE(nn.Module):
         pair = jnp.concatenate([out[:, pi, :], out[:, pj, :]], axis=-1)
         logits = self._add_edge(pair)[..., 0]  # [B, P]
         edge_targets = adj[:, pj + 1, pi + 1]
-        edge_ll = jnp.sum(
-            edge_targets * jax.nn.log_sigmoid(logits)
-            + (1.0 - edge_targets) * jax.nn.log_sigmoid(-logits)
-        )
+        if self.loss_variant == "v1":
+            # V1 numerics: BCE on the sigmoid output with torch's
+            # log-clamp at -100 (F.binary_cross_entropy semantics) —
+            # loses precision for |logit| >~ 17 where sigmoid saturates
+            # in float32, exactly like the reference.
+            probs = jax.nn.sigmoid(logits)
+            log_p = jnp.maximum(jnp.log(probs), -100.0)
+            log_1p = jnp.maximum(jnp.log(1.0 - probs), -100.0)
+            edge_ll = jnp.sum(
+                edge_targets * log_p + (1.0 - edge_targets) * log_1p
+            )
+        else:
+            edge_ll = jnp.sum(
+                edge_targets * jax.nn.log_sigmoid(logits)
+                + (1.0 - edge_targets) * jax.nn.log_sigmoid(-logits)
+            )
 
         log_likelihood = node_ll + edge_ll
         kld = -0.5 * jnp.sum(1.0 + logvar - mu**2 - jnp.exp(logvar))

@@ -237,3 +237,23 @@ def test_low_temperature_decode_is_deterministic():
         temperature=jnp.asarray(1.0),
     )
     assert np.asarray(r3.labels).shape == np.asarray(r1.labels).shape
+
+
+def test_loss_variant_v1_matches_v3_in_well_conditioned_regime():
+    # V1 (BCE on sigmoid probs, torch clamp at -100) equals V3
+    # (BCE-with-logits) wherever the sigmoid doesn't saturate; at init the
+    # logits are small, so the two must agree to float32 rounding.
+    n = 6
+    rng = np.random.default_rng(0)
+    labels, adj = sampler.sample_er_batch(rng, 8, n, n + 2, n)
+    lb, ad = jnp.asarray(labels), jnp.asarray(adj)
+    kwargs = dict(
+        num_real_vertices=n, real_label_cardinality=n,
+        embed_size=16, num_heads=4, num_layers=1, latent_size=8, fc_hidden=16,
+    )
+    m3 = PaceVAE(**kwargs)
+    m1 = PaceVAE(**kwargs, loss_variant="v1")
+    variables = m3.init(jax.random.PRNGKey(0), lb, ad)
+    t3 = m3.apply(variables, lb, ad, True, method=PaceVAE.loss)
+    t1 = m1.apply(variables, lb, ad, True, method=PaceVAE.loss)
+    np.testing.assert_allclose(float(t1[0]), float(t3[0]), rtol=1e-5)

@@ -258,3 +258,28 @@ def test_sparse_exact_matches_numpy_synthetic(metric):
         [reference_score_np(a, codes, cards, metric) for a in adjs]
     )
     np.testing.assert_allclose(got, expect, rtol=1e-9)
+
+
+def test_sparse_vs_dense_exact_parity_n37():
+    from dags_vae_search_tpu.graphs import sampler
+
+    # Two independent implementations — the device segment-sum contingency
+    # path (score_exact: f32 counts + f64 host finisher) and the host
+    # np.unique group-by path (score_exact_sparse) — must agree at alarm
+    # scale for both BIC and BDe.
+    rng = np.random.default_rng(11)
+    n = 37
+    _, truth = sampler.sample_er_batch(rng, 1, n, 2 * n, n)
+    cards = rng.integers(2, 4, size=n)
+    ds = catalog.simulate_dataset(rng, truth[0], cards, 3000)
+    _, adjs = sampler.sample_er_batch(rng, 4, n, 2 * n, n)
+    for metric in ("bic", "bde"):
+        scorer = BicScorer(ds, metric=metric, max_parents=6)
+        dense = scorer.score_exact(np.asarray(adjs, np.float32))
+        sparse = scorer.score_exact_sparse(np.asarray(adjs, np.float32))
+        # The sparse path has no q_cap/max_parents feasibility masking —
+        # compare where the dense path is finite (and require coverage).
+        finite = np.isfinite(dense)
+        assert finite.any()
+        assert np.isfinite(sparse).all()
+        np.testing.assert_allclose(dense[finite], sparse[finite], rtol=1e-9)
