@@ -38,9 +38,12 @@ def _catalog_experiment(
     model: ModelConfig | None = None,
     max_card: int = 2,
     density: float | None = None,
+    search: SearchConfig | None = None,
 ) -> ExperimentConfig:
     entry = CATALOG[name]
     n = entry.num_vertices
+    if search is None:
+        search = SearchConfig(max_parents=min(8, n - 1))
     return ExperimentConfig(
         name=name,
         num_vertices=n,
@@ -54,7 +57,7 @@ def _catalog_experiment(
             density_limit=density if density is not None else density_cap(n),
         ),
         train=train,
-        search=SearchConfig(max_parents=min(8, n - 1)),
+        search=search,
     )
 
 
@@ -123,14 +126,29 @@ def build_registry() -> Dict[str, ExperimentConfig]:
         )
 
     # very large nets (config 5) — density cap 0.05; blocked closures,
-    # bit-packed corpora. Corpus sizes are demonstration-scale.
+    # bit-packed corpora. Corpus sizes are demonstration-scale, and the
+    # latent search budget is scaled down: a single decode is an
+    # O(n)-step scan over ~n-token transformer passes, so the default
+    # 123k-decode CEM budget would cost hours at n=223/724 for a latent
+    # space that (at demonstration training budgets) cannot beat the
+    # family-delta climber anyway.
     for name in ("andes", "link"):
+        n = CATALOG[name].num_vertices
         registry[name] = _catalog_experiment(
             name,
             corpus_batch=8,
             steps=12,
             train=TrainConfig(batch_size=16, epochs=20, learning_rate=1e-4),
             model=ModelConfig(latent_size=128),
+            search=SearchConfig(
+                max_parents=min(8, n - 1),
+                islands=4,
+                island_population=32,
+                island_iters=6,
+                refine_iters=4,
+                refine_population=64,
+                hill_climb_iters=6000,
+            ),
         )
 
     return registry

@@ -529,6 +529,8 @@ class ExperimentRunner:
                 jnp_.asarray(anchor_labels),
                 jnp_.asarray(anchor_adj),
                 jax.random.PRNGKey(self.config.seed + 3),
+                iters=cfg.refine_iters,
+                population=cfg.refine_population,
             )
             refined_payload = {
                 "best_bic": refined.best_score,

@@ -37,6 +37,8 @@ class SearchConfig:
     islands: int = 8
     island_population: int = 512
     island_iters: int = 30
+    refine_iters: int = 15
+    refine_population: int = 512
     hill_climb_iters: int = 200
     gp_train_points: int = 4000
     gp_iters: int = 500
