@@ -450,7 +450,21 @@ class ExperimentRunner:
                         jnp_.asarray(seed_labels), jnp_.asarray(seed_adj)
                     )
                 )
-            seed_scores = np.asarray(scorer.score(seed_cols))
+            # Chunked + family-table seed scoring: one monolithic
+            # scorer.score(2048 graphs) materializes B*n*q_cap contingency
+            # intermediates — at sachs (r=3, q_cap 4096) that is ~17 GB and
+            # OOMs the 16 GB HBM.  The gather-based fast_scorer (n <= 16)
+            # or 256-graph chunks keep the peak bounded.
+            seed_scores = np.concatenate(
+                [
+                    np.asarray(
+                        fast_scorer.score(
+                            jnp_.asarray(seed_cols[s : s + 256])
+                        )
+                    )
+                    for s in range(0, len(seed_cols), 256)
+                ]
+            )
             elite_pick = np.argsort(-seed_scores)[: max(cfg.islands - 1, 1)]
             hc_labels, hc_adj = latent_mod.column_adj_to_labeled(
                 hc.best_adj, np.random.default_rng(self.config.seed + 7)

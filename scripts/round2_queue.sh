@@ -17,10 +17,8 @@ run() {
   python -m dags_vae_search_tpu.experiments.results runs RESULTS.md >/dev/null 2>&1
 }
 
-# 1. fast search refreshes (stale reports predate the constrained decode)
-run asia_search     2400 asia search roundtrip
+# 1. sachs refresh (re-run: seed scoring OOM fixed — chunked family-table path)
 run sachs_search    2400 sachs search roundtrip
-run synth_search    2400 synthetic_12 search roundtrip
 # 2. the BASELINE north-star: alarm end-to-end with the scaled recipe
 run alarm_full     10800 alarm train eval predictor gp search roundtrip
 # 3. large nets end-to-end
@@ -29,6 +27,8 @@ run hepar2_full    10800 hepar2 train eval predictor gp search roundtrip
 # 4. very large nets: searches + downstream on existing checkpoints
 run andes_rest      7200 andes predictor gp search roundtrip
 run link_rest      10800 link predictor gp search roundtrip
+# 5. synthetic_12 refresh (interrupted by the sachs requeue; low risk)
+run synth_search    2400 synthetic_12 search roundtrip
 
 python -m dags_vae_search_tpu.experiments.results runs RESULTS.md
 echo "=== queue done $(date -u +%H:%M:%S) ==="
