@@ -576,7 +576,16 @@ class ExperimentRunner:
                     vectors[:3000], targets[:3000],
                     iters=self.config.search.gp_iters,
                 )
-                z_init = jnp_.asarray(vectors[order[:256]])
+                # Seed from the strongest latents we know: the hill-climb
+                # winner's encoding, the island-CEM incumbent, then the
+                # top predictor-corpus latents.  gp_ascent also scores the
+                # un-moved seeds, so its floor is "decode the best knowns".
+                extra = [np.asarray(hc_mu)]
+                if np.isfinite(res.best_score):
+                    extra.append(np.asarray(res.best_z)[None])
+                z_init = jnp_.asarray(
+                    np.concatenate(extra + [vectors[order[:254]]])[:256]
+                )
                 t0 = time.time()
                 asc = latent_mod.gp_ascent_search(
                     self.model,

@@ -247,11 +247,21 @@ def gp_ascent_search(
     learning_rate: float = 0.05,
     ucb_beta: float = 0.0,
     decode_rounds: int = 4,
+    trust_radius: Optional[float] = 0.5,
+    include_init: bool = True,
 ) -> SearchResult:
     """Vmapped Adam ascent of the GP acquisition over z, then real scoring.
 
     acquisition(z) = posterior_mean(z) + ucb_beta * posterior_std(z),
     computed in standardized target space (monotone in the real score).
+
+    The GP posterior is only trustworthy near its training latents, so the
+    ascent is trust-region bounded: after every Adam step each point is
+    projected back onto the L2 ball of radius ``trust_radius * sqrt(nz)``
+    around its start (latents are ~unit-Gaussian per dim, so sqrt(nz) is the
+    natural distance scale; pass ``trust_radius=None`` for unconstrained
+    ascent).  With ``include_init`` the un-moved seeds are scored too, so the
+    search can never return worse than decoding its own starting points.
     """
     import optax
 
@@ -262,28 +272,37 @@ def gp_ascent_search(
     opt = optax.adam(learning_rate)
 
     @jax.jit
-    def ascend(z):
-        opt_state = opt.init(z)
+    def ascend(z0):
+        opt_state = opt.init(z0)
+        radius = (
+            trust_radius * jnp.sqrt(jnp.asarray(z0.shape[-1], jnp.float32))
+            if trust_radius is not None
+            else None
+        )
 
         def step(carry, _):
             z, opt_state = carry
             val, grads = jax.value_and_grad(lambda q: -jnp.sum(acquisition(q)))(z)
             updates, opt_state = opt.update(grads, opt_state)
-            return (optax.apply_updates(z, updates), opt_state), val
+            z = optax.apply_updates(z, updates)
+            if radius is not None:
+                d = z - z0
+                norm = jnp.linalg.norm(d, axis=-1, keepdims=True)
+                z = z0 + d * jnp.minimum(1.0, radius / jnp.maximum(norm, 1e-9))
+            return (z, opt_state), val
 
-        (z, _), _ = jax.lax.scan(step, (z, opt_state), None, length=steps)
+        (z, _), _ = jax.lax.scan(step, (z0, opt_state), None, length=steps)
         return z
 
     z_opt = ascend(z_init)
     best = None
     history = []
     evals = 0
-    for r in range(decode_rounds):
+    batches = ([z_init] if include_init else []) + [z_opt] * decode_rounds
+    for zb in batches:
         key, k_d = jax.random.split(key)
-        scores, labels, adj = decode_and_score(
-            model, variables, scorer, z_opt, k_d
-        )
-        best = _update_best(best, scores, labels, adj, z_opt)
+        scores, labels, adj = decode_and_score(model, variables, scorer, zb, k_d)
+        best = _update_best(best, scores, labels, adj, zb)
         history.append(best.best_score)
-        evals += z_opt.shape[0]
+        evals += zb.shape[0]
     return best._replace(num_evals=evals, history=history)

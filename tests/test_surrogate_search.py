@@ -148,13 +148,23 @@ def test_gp_ascent_search_runs():
     z0 = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))
     res = latent.gp_ascent_search(
         model, variables, scorer, gp, jax.random.PRNGKey(0), z0,
-        steps=30, decode_rounds=1,
+        steps=30, decode_rounds=1, include_init=False,
     )
     assert res.num_evals == 16
     # ascent should pull z toward the GP peak (origin)
     assert float(jnp.mean(jnp.abs(jnp.asarray(res.best_z)))) < float(
         jnp.mean(jnp.abs(z0))
     )
+    # trust region: no optimized point may leave the ball around its start
+    res_tr = latent.gp_ascent_search(
+        model, variables, scorer, gp, jax.random.PRNGKey(0), z0,
+        steps=30, decode_rounds=1, trust_radius=0.1, include_init=True,
+    )
+    # include_init adds one extra scoring pass over the seeds
+    assert res_tr.num_evals == 32
+    radius = 0.1 * np.sqrt(z0.shape[-1])
+    dist = float(jnp.linalg.norm(jnp.asarray(res_tr.best_z) - z0, axis=-1).min())
+    assert dist <= radius + 1e-4
 
 
 def test_island_cem_search_runs():
