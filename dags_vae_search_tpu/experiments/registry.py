@@ -148,6 +148,15 @@ def build_registry() -> Dict[str, ExperimentConfig]:
                 refine_iters=4,
                 refine_population=64,
                 hill_climb_iters=6000,
+                # anytime bound: one accepted move costs ~2 chunked family
+                # rescans (O(n) families) plus an O(n^2) host closure, so
+                # 6000 moves at n=724 can outrun any stage timeout
+                hill_climb_time_s=1800.0 if n > 400 else 1200.0,
+                # a single decode is an O(n)-step scan at n=223/724, so the
+                # default 256-seed x 9-pass GP-ascent budget would dominate
+                # the whole search stage
+                gp_ascent_seeds=32,
+                gp_ascent_rounds=2,
             ),
         )
 

@@ -396,6 +396,7 @@ class ExperimentRunner:
                     n_vars,
                     init_adj=init_adj,
                     max_iters=max_iters or max(cfg.hill_climb_iters, 4 * n_vars),
+                    time_budget_s=cfg.hill_climb_time_s,
                 )
             return hillclimb.hill_climb(
                 fast_scorer,
@@ -580,11 +581,14 @@ class ExperimentRunner:
                 # winner's encoding, the island-CEM incumbent, then the
                 # top predictor-corpus latents.  gp_ascent also scores the
                 # un-moved seeds, so its floor is "decode the best knowns".
+                n_seed = cfg.gp_ascent_seeds
                 extra = [np.asarray(hc_mu)]
                 if np.isfinite(res.best_score):
                     extra.append(np.asarray(res.best_z)[None])
                 z_init = jnp_.asarray(
-                    np.concatenate(extra + [vectors[order[:254]]])[:256]
+                    np.concatenate(extra + [vectors[order[: n_seed - 2]]])[
+                        :n_seed
+                    ]
                 )
                 t0 = time.time()
                 asc = latent_mod.gp_ascent_search(
@@ -596,7 +600,7 @@ class ExperimentRunner:
                     z_init,
                     steps=100,
                     ucb_beta=0.5,
-                    decode_rounds=8,
+                    decode_rounds=cfg.gp_ascent_rounds,
                 )
                 asc_payload = {
                     "best_bic": asc.best_score,
@@ -614,6 +618,17 @@ class ExperimentRunner:
                 result_payload["gp_ascent"] = asc_payload
         except FileNotFoundError:
             result_payload["island_cem"] = "skipped (no checkpoint)"
+        except Exception as exc:  # noqa: BLE001 — keep the structure-space
+            # results: a latent-stage failure (e.g. a checkpoint trained
+            # under a different ModelConfig failing orbax tree-structure
+            # restore) must not lose the hill-climb/exact report.
+            import traceback
+
+            traceback.print_exc()
+            result_payload.setdefault(
+                "island_cem",
+                "skipped ({}: {})".format(type(exc).__name__, str(exc)[:200]),
+            )
 
         if self._truth_adj is not None:
             result_payload["ground_truth_bic"] = float(

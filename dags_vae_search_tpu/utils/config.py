@@ -40,8 +40,13 @@ class SearchConfig:
     refine_iters: int = 15
     refine_population: int = 512
     hill_climb_iters: int = 200
+    # anytime bound for the delta climber (n > 48): return the incumbent
+    # when the wall clock runs out instead of dying to an external timeout
+    hill_climb_time_s: Optional[float] = None
     gp_train_points: int = 4000
     gp_iters: int = 500
+    gp_ascent_seeds: int = 256
+    gp_ascent_rounds: int = 8
     max_parents: Optional[int] = None
 
 

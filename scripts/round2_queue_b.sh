@@ -25,6 +25,10 @@ run andes_search  4800 andes search roundtrip
 run link_prep     2400 link predictor gp
 run link_search   7200 link search roundtrip
 run win95_full    9000 win95pts train eval predictor gp search roundtrip
+# does more capacity crack alarm reconstruction the way the doubled model
+# cracked child's? (variant dir alarm@big, canonical run untouched)
+run alarm_probe   3600 alarm train eval --variant big --embed-size 128 \
+    --num-layers 6 --latent-size 192 --fc-hidden 128 --epochs 40
 run hepar2_full   9000 hepar2 train eval predictor gp search roundtrip
 run synth_search  2400 synthetic_12 search roundtrip
 
