@@ -186,13 +186,23 @@ def delta_hill_climb(
     max_iters: int = 5000,
     min_improvement: float = 1e-4,
     chunk: int = 4096,
+    time_budget_s: float | None = None,
 ) -> HillClimbResult:
     """Greedy best-move climb using cached family deltas.
 
     Same result contract as ``hillclimb.hill_climb``; ``num_evals`` counts
     family evaluations (each is one node-score, ~n-fold cheaper than a full
-    candidate evaluation there).
+    candidate evaluation there).  ``time_budget_s`` makes the climb anytime:
+    when the wall clock runs out it returns the best structure found so far
+    (every accepted move only ever improves the score, so the incumbent is
+    always valid) instead of risking an external timeout that loses the
+    whole result at link scale (n=724, host loop per accepted move).
     """
+    import time as _time
+
+    deadline = (
+        None if time_budget_s is None else _time.monotonic() + time_budget_s
+    )
     n = num_variables
     adj0 = (
         np.zeros((n, n), bool)
@@ -203,6 +213,14 @@ def delta_hill_climb(
     history = [float(state.fam_score.sum())]
 
     for it in range(max_iters):
+        if deadline is not None and _time.monotonic() > deadline:
+            return HillClimbResult(
+                best_score=float(state.fam_score.sum()),
+                best_adj=state.adj.astype(np.float32),
+                iterations=it,
+                num_evals=state.evals,
+                history=history,
+            )
         add, dele, rev = state.feasible_deltas()
         while True:
             deltas = np.stack(

@@ -78,3 +78,17 @@ def test_delta_hill_climb_from_init_and_acyclicity():
     assert (adj.sum(0) <= fb.max_parents).all()
     init_score = float(bs.score_exact(init[0][None])[0])
     assert res.best_score >= init_score - 1e-6
+
+
+def test_delta_hill_climb_time_budget_returns_incumbent():
+    _, ds, bs, fb = _setup()
+    n = ds.num_variables
+    # an exhausted budget must still return a valid (empty-graph) incumbent
+    res = delta_hill_climb(fb, n, max_iters=300, time_budget_s=0.0)
+    assert res.iterations == 0
+    assert np.isfinite(res.best_score)
+    assert res.best_adj.sum() == 0
+    # a generous budget must not change the converged result
+    full = delta_hill_climb(fb, n, max_iters=300)
+    budgeted = delta_hill_climb(fb, n, max_iters=300, time_budget_s=600.0)
+    assert budgeted.best_score == full.best_score
