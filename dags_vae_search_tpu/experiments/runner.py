@@ -112,9 +112,19 @@ class ExperimentRunner:
         num_edges = (
             entry.num_edges if entry else 2 * self.config.num_vertices
         )
-        _, adj = g_sampler.sample_er_batch(
-            rng, 1, self.config.num_vertices, num_edges, self.config.num_vertices
-        )
+        try:
+            _, adj = g_sampler.sample_er_batch(
+                rng, 1, self.config.num_vertices, num_edges,
+                self.config.num_vertices,
+            )
+        except RuntimeError:
+            # rejection sampling of a connected ER DAG is hopeless near the
+            # connectivity threshold at large n (andes n=223, link n=724) —
+            # same constructive fallback the corpus generator uses (n > 64).
+            _, adj = g_sampler.sample_connected_dags(
+                rng, 1, self.config.num_vertices, num_edges,
+                self.config.num_vertices,
+            )
         truth = adj[0]
         cards = rng.integers(
             2, self.config.simulate_max_card + 1, size=self.config.num_vertices
@@ -734,6 +744,12 @@ def main(argv=None):
     parser.add_argument("--lr-schedule", choices=["plateau", "cosine"], default=None)
     parser.add_argument("--warmup-epochs", type=int, default=None)
     parser.add_argument("--steps-per-call", type=int, default=None)
+    # search-budget overrides (the registry defaults size the anytime
+    # hill climb for a full production run; these bound a quick pass)
+    parser.add_argument("--hc-time", type=float, default=None,
+                        help="hill-climb wall-clock budget in seconds")
+    parser.add_argument("--hc-iters", type=int, default=None,
+                        help="hill-climb max accepted-move count")
     args = parser.parse_args(argv)
 
     config = REGISTRY[args.experiment]
@@ -757,6 +773,10 @@ def main(argv=None):
     ):
         if arg is not None:
             setattr(config.train, field_name, arg)
+    if args.hc_time is not None:
+        config.search.hill_climb_time_s = args.hc_time
+    if args.hc_iters is not None:
+        config.search.hill_climb_iters = args.hc_iters
     runner = ExperimentRunner(config, data_dir=args.data_dir, variant=args.variant)
     for stage in args.stages:
         if stage == "train":
