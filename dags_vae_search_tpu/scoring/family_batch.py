@@ -91,11 +91,15 @@ class FamilyBatchScorer:
         self, children: np.ndarray, parents: np.ndarray, chunk: int = 4096
     ) -> np.ndarray:
         """Host-chunked scoring for very large family lists (fixed-shape
-        dispatches; the last chunk is padded)."""
+        dispatches; every chunk — including a short-input call — is padded
+        to exactly ``chunk`` families).  The fixed, lane-aligned dispatch
+        shape matters more than the wasted pad lanes: XLA compile time for
+        this kernel is pathological at odd F (measured 372 s at F=223 vs
+        37 s at F=4096 on v5e), and one shape means one compile per scorer
+        no matter how callers slice their family lists."""
         children = np.asarray(children, np.int32)
         parents = np.asarray(parents, np.int32)
         total = children.shape[0]
-        chunk = min(chunk, total)
         out = np.empty(total, np.float32)
         for start in range(0, total, chunk):
             end = min(start + chunk, total)

@@ -80,8 +80,50 @@ class _DeltaState:
         ).astype(np.float64)
         self.gain_add = np.full((n, n), NEG_INF)
         self.gain_del = np.full((n, n), NEG_INF)
+        self._initial_scan(base_parents)
+
+    def _initial_scan(self, base_parents: np.ndarray) -> None:
+        """Populate gain_add/gain_del for every child in ONE chunked pass.
+
+        Per-child refresh calls here would issue n separate device
+        dispatches (n=724 at link scale) before the first move — the
+        batched scan folds the whole O(n^2) frontier into ceil(n^2/chunk)
+        fixed-shape dispatches instead.
+        """
+        n, w = self.n, self.width
+        children = []
+        parents = []
+        slots = []  # (kind, x, y)
         for y in range(n):
-            self._refresh_child(y)
+            cur = np.flatnonzero(self.adj[:, y]).astype(np.int32)
+            k = cur.size
+            if k < self.max_parents:
+                for x in range(n):
+                    if x == y or self.adj[x, y]:
+                        continue
+                    row = np.full(w, -1, np.int32)
+                    row[:k] = cur
+                    row[k] = x
+                    children.append(y)
+                    parents.append(row)
+                    slots.append((0, x, y))
+            for x in cur:
+                row = np.full(w, -1, np.int32)
+                rest = cur[cur != x]
+                row[: rest.size] = rest
+                children.append(y)
+                parents.append(row)
+                slots.append((1, int(x), y))
+        if not children:
+            return
+        scores = self._score(
+            np.asarray(children, np.int32), np.stack(parents)
+        ).astype(np.float64)
+        kinds, xs, ys = np.asarray(slots, np.int64).T
+        gains = scores - self.fam_score[ys]
+        is_add = kinds == 0
+        self.gain_add[xs[is_add], ys[is_add]] = gains[is_add]
+        self.gain_del[xs[~is_add], ys[~is_add]] = gains[~is_add]
 
     def _score(self, children, parents) -> np.ndarray:
         self.evals += len(children)
