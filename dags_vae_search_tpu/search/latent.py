@@ -12,6 +12,11 @@ All strategies are batched over thousands of candidates per device step:
 - :func:`gp_ascent_search` — surrogate-guided: vmapped Adam ascent on the
   (differentiable) GP posterior mean or UCB over z, then decode+score the
   optimized points with the real scorer.
+- :func:`bo_search` — the closed BO loop the one-shot ascent lacks: fit GP
+  on all scored (z, BIC) pairs so far -> ascend the UCB acquisition ->
+  decode+score the batch -> append -> refit, for several rounds (the
+  reference's surrogate exists to be *searched over*,
+  ``src/predictors/gp.py:13-32``; this is that search).
 
 Cross-chip island parallelism lives in ``search/islands.py``.
 """
@@ -52,9 +57,19 @@ def decode_and_score(
     the reference asserts the same before its R call (``bnlearn.py:32-35``).
     Decodes with duplicate/missing labels would alias vertices under the
     label permutation and score a bogus merged structure, so they get -inf.
+
+    Decodes are in-degree-capped to the scorer's ``max_parents`` so every
+    candidate is feasible under the scorer by construction (in-degree is
+    invariant under the label relabeling, so the slot-space cap equals the
+    column-space cap the scorer enforces).
     """
     recon, valid = decode_to_labeled(
-        model, variables, z, rng, temperature=temperature
+        model,
+        variables,
+        z,
+        rng,
+        temperature=temperature,
+        max_in_degree=getattr(scorer, "max_parents", None),
     )
     if model.real_label_cardinality == 1:
         # Unlabeled corpora (e.g. synthetic_12): slot i IS column i.
@@ -236,33 +251,18 @@ def refine_search(
     return best._replace(num_evals=evals, history=history)
 
 
-def gp_ascent_search(
-    model: PaceVAE,
-    variables,
-    scorer: BicScorer,
+def _ascend_acquisition(
     gp,
-    key: jax.Array,
-    z_init: jnp.ndarray,  # [S, nz] starting points (e.g. encoded corpus mus)
-    steps: int = 100,
-    learning_rate: float = 0.05,
-    ucb_beta: float = 0.0,
-    decode_rounds: int = 4,
-    trust_radius: Optional[float] = 0.5,
-    include_init: bool = True,
-) -> SearchResult:
-    """Vmapped Adam ascent of the GP acquisition over z, then real scoring.
-
-    acquisition(z) = posterior_mean(z) + ucb_beta * posterior_std(z),
-    computed in standardized target space (monotone in the real score).
-
-    The GP posterior is only trustworthy near its training latents, so the
-    ascent is trust-region bounded: after every Adam step each point is
-    projected back onto the L2 ball of radius ``trust_radius * sqrt(nz)``
-    around its start (latents are ~unit-Gaussian per dim, so sqrt(nz) is the
-    natural distance scale; pass ``trust_radius=None`` for unconstrained
-    ascent).  With ``include_init`` the un-moved seeds are scored too, so the
-    search can never return worse than decoding its own starting points.
-    """
+    z0: jnp.ndarray,
+    steps: int,
+    learning_rate: float,
+    ucb_beta: float,
+    trust_radius: Optional[float],
+) -> jnp.ndarray:
+    """Vmapped Adam ascent of UCB(z) = mean(z) + beta * std(z) over the GP
+    posterior (standardized target space — monotone in the real score),
+    trust-region projected onto the L2 ball of radius
+    ``trust_radius * sqrt(nz)`` around each start."""
     import optax
 
     def acquisition(z_batch):
@@ -294,7 +294,35 @@ def gp_ascent_search(
         (z, _), _ = jax.lax.scan(step, (z0, opt_state), None, length=steps)
         return z
 
-    z_opt = ascend(z_init)
+    return ascend(z0)
+
+
+def gp_ascent_search(
+    model: PaceVAE,
+    variables,
+    scorer: BicScorer,
+    gp,
+    key: jax.Array,
+    z_init: jnp.ndarray,  # [S, nz] starting points (e.g. encoded corpus mus)
+    steps: int = 100,
+    learning_rate: float = 0.05,
+    ucb_beta: float = 0.0,
+    decode_rounds: int = 4,
+    trust_radius: Optional[float] = 0.5,
+    include_init: bool = True,
+) -> SearchResult:
+    """One-shot vmapped ascent of the GP acquisition over z + real scoring.
+
+    The GP posterior is only trustworthy near its training latents, so the
+    ascent is trust-region bounded (pass ``trust_radius=None`` for
+    unconstrained ascent).  With ``include_init`` the un-moved seeds are
+    scored too, so the search can never return worse than decoding its own
+    starting points.  For the closed fit->ascend->score->refit loop use
+    :func:`bo_search`.
+    """
+    z_opt = _ascend_acquisition(
+        gp, z_init, steps, learning_rate, ucb_beta, trust_radius
+    )
     best = None
     history = []
     evals = 0
@@ -305,4 +333,111 @@ def gp_ascent_search(
         best = _update_best(best, scores, labels, adj, zb)
         history.append(best.best_score)
         evals += zb.shape[0]
+    return best._replace(num_evals=evals, history=history)
+
+
+def bo_search(
+    model: PaceVAE,
+    variables,
+    scorer: BicScorer,
+    key: jax.Array,
+    z_init: jnp.ndarray,  # [S, nz] seed latents (e.g. encoded corpus elites)
+    extra_obs: Optional[Tuple[np.ndarray, np.ndarray]] = None,  # (z, y) pairs
+    rounds: int = 6,
+    ascent_steps: int = 60,
+    learning_rate: float = 0.05,
+    ucb_beta: float = 1.0,
+    trust_radius: Optional[float] = 0.5,
+    explore_sigma: float = 0.25,
+    gp_iters: int = 200,
+    max_gp_points: int = 3000,
+) -> SearchResult:
+    """Closed-loop batched Bayesian optimization over the latent space.
+
+    The reference's surrogate exists to be *searched over*
+    (``src/predictors/gp.py:13-32``) but the reference never closes the
+    loop; :func:`gp_ascent_search` closes half of it (one ascent of a
+    frozen GP).  This is the whole loop: every round
+
+      1. fit an :class:`~..surrogate.gp.ExactGP` on ALL finite (z, BIC)
+         pairs observed so far (capped at ``max_gp_points``: the top-scoring
+         half plus a random half, so the model stays sharp near the
+         incumbent without going blind elsewhere);
+      2. ascend the UCB acquisition mean + beta*std from the current
+         top-scoring latents (plus Gaussian-jittered copies — the batched
+         stand-in for acquisition multi-start);
+      3. decode + really score the ascended batch (-inf for infeasible);
+      4. append the finite observations and refit next round.
+
+    Returns the incumbent over everything scored, seeds included, so the
+    floor is "decode the seeds" — it can only add to gp_ascent's result.
+    """
+    from dags_vae_search_tpu.surrogate.gp import ExactGP
+
+    nz = z_init.shape[-1]
+    # Seed observations: decode + really score the seeds (the incumbent must
+    # always carry a decoded structure).  ``extra_obs`` supplies known real
+    # (z, score) pairs (e.g. the predictor dataset: corpus-graph BICs at
+    # their encodings) as EXTRA GP observations — free surrogate signal
+    # without pretending the encoder round-trips exactly.
+    key, k_d = jax.random.split(key)
+    seed_scores, labels, adj = decode_and_score(
+        model, variables, scorer, z_init, k_d
+    )
+    best = _update_best(None, seed_scores, labels, adj, z_init)
+    evals = z_init.shape[0]
+    zs = np.asarray(z_init, dtype=np.float32)
+    ys = np.asarray(seed_scores, dtype=np.float64)
+    if extra_obs is not None:
+        zs = np.concatenate([zs, np.asarray(extra_obs[0], dtype=np.float32)])
+        ys = np.concatenate([ys, np.asarray(extra_obs[1], dtype=np.float64)])
+    history = [best.best_score]
+
+    batch = z_init.shape[0]
+    for r in range(rounds):
+        finite = np.isfinite(ys)
+        if finite.sum() < 2:
+            # Not enough signal for a GP — fall back to sampling around the
+            # best seed so the loop still makes progress.
+            key, k_z, k_d = jax.random.split(key, 3)
+            z_next = jnp.asarray(zs[np.argmax(ys)]) + explore_sigma * (
+                jax.random.normal(k_z, (batch, nz))
+            )
+        else:
+            zf, yf = zs[finite], ys[finite]
+            if len(zf) > max_gp_points:
+                top = np.argsort(-yf)[: max_gp_points // 2]
+                rest = np.setdiff1d(np.arange(len(zf)), top)
+                rng_np = np.random.default_rng(r)
+                rand = rng_np.choice(
+                    rest, size=max_gp_points - len(top), replace=False
+                )
+                pick = np.concatenate([top, rand])
+                zf, yf = zf[pick], yf[pick]
+            gp = ExactGP().fit(zf, yf, iters=gp_iters)
+            # Multi-start: current top latents + jittered copies.
+            n_top = max(batch // 2, 1)
+            starts = zf[np.argsort(-yf)[:n_top]]
+            key, k_j = jax.random.split(key)
+            jitter = starts[
+                np.arange(batch - len(starts)) % len(starts)
+            ] + explore_sigma * np.asarray(
+                jax.random.normal(k_j, (batch - len(starts), nz))
+            )
+            z0 = jnp.asarray(
+                np.concatenate([starts, jitter]), dtype=jnp.float32
+            )
+            z_next = _ascend_acquisition(
+                gp, z0, ascent_steps, learning_rate, ucb_beta, trust_radius
+            )
+        key, k_d = jax.random.split(key)
+        scores, labels, adj = decode_and_score(
+            model, variables, scorer, z_next, k_d
+        )
+        best = _update_best(best, scores, labels, adj, z_next)
+        evals += z_next.shape[0]
+        history.append(best.best_score)
+        zs = np.concatenate([zs, np.asarray(z_next)])
+        ys = np.concatenate([ys, np.asarray(scores, dtype=np.float64)])
+
     return best._replace(num_evals=evals, history=history)

@@ -47,6 +47,7 @@ class SearchConfig:
     gp_iters: int = 500
     gp_ascent_seeds: int = 256
     gp_ascent_rounds: int = 8
+    bo_rounds: int = 6
     max_parents: Optional[int] = None
 
 

@@ -239,6 +239,35 @@ def test_low_temperature_decode_is_deterministic():
     assert np.asarray(r3.labels).shape == np.asarray(r1.labels).shape
 
 
+def test_decode_max_in_degree_cap_at_n70():
+    # VERDICT r2 #2: the search scorer marks in-degree > max_parents as -inf
+    # (scoring/bic.py), so decode must cap sampled in-degree or latent search
+    # emits valid-but-unscoreable graphs (the hepar2 -inf mechanism).  Over
+    # 1k decodes at n=70 from an untrained model (worst case: near-uniform
+    # edge heads sample ~n/2 parents per node), every unwrapped node must
+    # have in-degree <= cap, and decodes must stay valid.
+    n, cap = 70, 8
+    model = PaceVAE(
+        num_real_vertices=n, real_label_cardinality=n,
+        embed_size=16, num_heads=4, num_layers=1, latent_size=16, fc_hidden=16,
+    )
+    rng = np.random.default_rng(0)
+    labels, adj = sampler.sample_connected_dags(rng, 2, n, 2 * n, n)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(labels), jnp.asarray(adj)
+    )
+    z = jax.random.normal(jax.random.PRNGKey(1), (1024, model.latent_size))
+    recon, valid = decode_to_labeled(
+        model, variables, z, jax.random.PRNGKey(2), max_in_degree=cap
+    )
+    indeg = np.asarray(recon.adj).sum(axis=1)  # [B, n] in-degree per node
+    assert indeg.max() <= cap
+    assert bool(np.all(np.asarray(valid)))
+    # Without the cap the same model overshoots, so the test has teeth.
+    recon_u, _ = decode_to_labeled(model, variables, z[:64], jax.random.PRNGKey(2))
+    assert np.asarray(recon_u.adj).sum(axis=1).max() > cap
+
+
 def test_loss_variant_v1_matches_v3_in_well_conditioned_regime():
     # V1 (BCE on sigmoid probs, torch clamp at -100) equals V3
     # (BCE-with-logits) wherever the sigmoid doesn't saturate; at init the

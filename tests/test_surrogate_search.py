@@ -167,6 +167,49 @@ def test_gp_ascent_search_runs():
     assert dist <= radius + 1e-4
 
 
+def test_bo_search_runs_and_floors_at_seed_decode():
+    # VERDICT r2 #5: closed-loop BO (fit -> ascend -> score -> refit).  The
+    # incumbent must never be worse than decoding the seeds (round 0), the
+    # history must be monotone, and the eval count must account for every
+    # decoded batch (seeds + rounds).
+    model, variables = _init_tiny()
+    rng = np.random.default_rng(21)
+    cards = np.full(5, 2, dtype=np.int32)
+    ds_adj = np.zeros((5, 5), dtype=np.float32)
+    ds_adj[0, 4] = ds_adj[2, 4] = 1.0
+    dataset = catalog.simulate_dataset(rng, ds_adj, cards, 400)
+    scorer = BicScorer(dataset)
+    z0 = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))
+    res = latent.bo_search(
+        model, variables, scorer, jax.random.PRNGKey(0), z0,
+        rounds=3, ascent_steps=10, gp_iters=50,
+    )
+    assert res.num_evals == 16 * 4  # seeds + 3 rounds of 16
+    assert len(res.history) == 4
+    assert res.history == sorted(res.history)
+    assert res.best_score >= res.history[0]
+    # Extra observations pass through without changing eval accounting.
+    extra = (
+        rng.normal(size=(30, 8)).astype(np.float32),
+        rng.normal(size=(30,)).astype(np.float64) - 500.0,
+    )
+    res2 = latent.bo_search(
+        model, variables, scorer, jax.random.PRNGKey(1), z0,
+        extra_obs=extra, rounds=2, ascent_steps=10, gp_iters=50,
+    )
+    assert res2.num_evals == 16 * 3
+    if np.isfinite(res2.best_score):
+        from dags_vae_search_tpu.scoring.bic import relabel_to_columns
+
+        rel = relabel_to_columns(
+            jnp.asarray(res2.best_labels)[None],
+            jnp.asarray(res2.best_adj)[None],
+        )
+        assert float(scorer.score(rel)[0]) == pytest.approx(
+            res2.best_score, abs=1e-3
+        )
+
+
 def test_island_cem_search_runs():
     model, variables = _init_tiny()
     rng = np.random.default_rng(5)
