@@ -43,7 +43,11 @@ def _catalog_experiment(
     entry = CATALOG[name]
     n = entry.num_vertices
     if search is None:
-        search = SearchConfig(max_parents=min(8, n - 1))
+        search = SearchConfig(
+            max_parents=min(8, n - 1),
+            # the delta climber (n > 48) is dispatch-bound: batch-accept
+            hill_climb_accept_batch=8 if n > 48 else 1,
+        )
     return ExperimentConfig(
         name=name,
         num_vertices=n,
@@ -147,11 +151,14 @@ def build_registry() -> Dict[str, ExperimentConfig]:
                 island_iters=6,
                 refine_iters=4,
                 refine_population=64,
-                hill_climb_iters=6000,
+                hill_climb_iters=8000,
                 # anytime bound: one accepted move costs ~2 chunked family
                 # rescans (O(n) families) plus an O(n^2) host closure, so
-                # 6000 moves at n=724 can outrun any stage timeout
+                # 8000 moves at n=724 can outrun any stage timeout
                 hill_climb_time_s=1800.0 if n > 400 else 1200.0,
+                # fold up to 16 distinct-child moves into one refresh
+                # dispatch — the climb is dispatch-latency-bound at n>=223
+                hill_climb_accept_batch=16,
                 # a single decode is an O(n)-step scan at n=223/724, so the
                 # default 256-seed x 9-pass GP-ascent budget would dominate
                 # the whole search stage

@@ -407,6 +407,7 @@ class ExperimentRunner:
                     init_adj=init_adj,
                     max_iters=max_iters or max(cfg.hill_climb_iters, 4 * n_vars),
                     time_budget_s=cfg.hill_climb_time_s,
+                    accept_batch=cfg.hill_climb_accept_batch,
                 )
             return hillclimb.hill_climb(
                 fast_scorer,

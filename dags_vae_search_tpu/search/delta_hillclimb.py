@@ -93,24 +93,40 @@ class _DeltaState:
         ).astype(np.float64)
         self.gain_add = np.full((n, n), NEG_INF)
         self.gain_del = np.full((n, n), NEG_INF)
-        self._initial_scan(base_parents)
+        # One chunked pass over the whole O(n^2) move frontier (per-child
+        # refreshes here would issue n separate dispatches before move 1).
+        self._refresh_children(range(n))
 
-    def _initial_scan(self, base_parents: np.ndarray) -> None:
-        """Populate gain_add/gain_del for every child in ONE chunked pass.
-
-        Per-child refresh calls here would issue n separate device
-        dispatches (n=724 at link scale) before the first move — the
-        batched scan folds the whole O(n^2) frontier into ceil(n^2/chunk)
-        fixed-shape dispatches instead.
-        """
+    def _timed_closure(self, adj: np.ndarray) -> np.ndarray:
         import time as _time
 
-        n, w = self.n, self.width
         t0 = _time.perf_counter()
+        out = _closure_bool(adj)
+        self.t_closure += _time.perf_counter() - t0
+        return out
+
+    def _score(self, children, parents) -> np.ndarray:
+        import time as _time
+
+        self.evals += len(children)
+        t0 = _time.perf_counter()
+        out = self.fam.score_chunked(children, parents, chunk=self.chunk)
+        self.t_score += _time.perf_counter() - t0
+        return out
+
+    def _refresh_children(self, ys) -> None:
+        """Recompute gain_add/gain_del columns for several children in ONE
+        batched scoring dispatch (the per-move dispatch is the climb's
+        dominant cost through a remote device, so batch-accepted moves fold
+        their refreshes together)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        n, w = self.n, self.width
         children = []
         parents = []
-        slots = []  # (kind, x, y)
-        for y in range(n):
+        slots = []  # (kind 0=add 1=del, x, y)
+        for y in ys:
             cur = np.flatnonzero(self.adj[:, y]).astype(np.int32)
             k = cur.size
             if k < self.max_parents:
@@ -130,83 +146,22 @@ class _DeltaState:
                 children.append(y)
                 parents.append(row)
                 slots.append((1, int(x), y))
+            self.gain_add[:, y] = NEG_INF
+            self.gain_del[:, y] = NEG_INF
         self.t_build += _time.perf_counter() - t0
         if not children:
             return
         scores = self._score(
             np.asarray(children, np.int32), np.stack(parents)
         ).astype(np.float64)
-        kinds, xs, ys = np.asarray(slots, np.int64).T
-        gains = scores - self.fam_score[ys]
+        kinds, xs, ys_arr = np.asarray(slots, np.int64).T
+        gains = scores - self.fam_score[ys_arr]
         is_add = kinds == 0
-        self.gain_add[xs[is_add], ys[is_add]] = gains[is_add]
-        self.gain_del[xs[~is_add], ys[~is_add]] = gains[~is_add]
-
-    def _timed_closure(self, adj: np.ndarray) -> np.ndarray:
-        import time as _time
-
-        t0 = _time.perf_counter()
-        out = _closure_bool(adj)
-        self.t_closure += _time.perf_counter() - t0
-        return out
-
-    def _score(self, children, parents) -> np.ndarray:
-        import time as _time
-
-        self.evals += len(children)
-        t0 = _time.perf_counter()
-        out = self.fam.score_chunked(children, parents, chunk=self.chunk)
-        self.t_score += _time.perf_counter() - t0
-        return out
+        self.gain_add[xs[is_add], ys_arr[is_add]] = gains[is_add]
+        self.gain_del[xs[~is_add], ys_arr[~is_add]] = gains[~is_add]
 
     def _refresh_child(self, y: int) -> None:
-        """Recompute gain_add[:, y] and gain_del[:, y] for child y."""
-        import time as _time
-
-        t0 = _time.perf_counter()
-        n, w = self.n, self.width
-        cur = np.flatnonzero(self.adj[:, y]).astype(np.int32)
-        k = cur.size
-
-        children = []
-        parents = []
-        add_rows = []
-        if k < self.max_parents:
-            for x in range(n):
-                if x == y or self.adj[x, y]:
-                    continue
-                row = np.full(w, -1, np.int32)
-                row[:k] = cur
-                row[k] = x
-                children.append(y)
-                parents.append(row)
-                add_rows.append(x)
-        del_rows = []
-        for x in cur:
-            row = np.full(w, -1, np.int32)
-            rest = cur[cur != x]
-            row[: rest.size] = rest
-            children.append(y)
-            parents.append(row)
-            del_rows.append(int(x))
-
-        self.gain_add[:, y] = NEG_INF
-        self.gain_del[:, y] = NEG_INF
-        self.t_build += _time.perf_counter() - t0
-        if not children:
-            return
-        scores = self._score(
-            np.asarray(children, np.int32), np.stack(parents)
-        ).astype(np.float64)
-        na = len(add_rows)
-        if na:
-            self.gain_add[np.asarray(add_rows), y] = (
-                scores[:na] - self.fam_score[y]
-            )
-        if del_rows:
-            self.gain_del[np.asarray(del_rows), y] = (
-                scores[na:] - self.fam_score[y]
-            )
+        self._refresh_children([y])
 
     # ----------------------------------------------------------- moves
 
@@ -236,20 +191,30 @@ class _DeltaState:
             "candidate_build_s": round(self.t_build, 2),
         }
 
+    def _apply_add(self, x: int, y: int) -> None:
+        """Add x->y and update the closure incrementally (exact)."""
+        self.fam_score[y] += self.gain_add[x, y]
+        self.adj[x, y] = True
+        # new paths u ~> x -> y ~> w
+        col = self.reach[:, x].copy()
+        col[x] = True
+        row = self.reach[y, :].copy()
+        row[y] = True
+        self.reach |= np.outer(col, row)
+
+    def _apply_del(self, x: int, y: int) -> None:
+        """Delete x->y.  Leaves ``reach`` OVERSTATED (deletion can only
+        remove paths) — conservative for acyclicity checks; the caller
+        recomputes the exact closure once per accepted batch."""
+        self.fam_score[y] += self.gain_del[x, y]
+        self.adj[x, y] = False
+
     def apply(self, kind: str, x: int, y: int) -> None:
         if kind == "add":
-            self.fam_score[y] += self.gain_add[x, y]
-            self.adj[x, y] = True
-            # new paths u ~> x -> y ~> w
-            col = self.reach[:, x].copy()
-            col[x] = True
-            row = self.reach[y, :].copy()
-            row[y] = True
-            self.reach |= np.outer(col, row)
+            self._apply_add(x, y)
             self._refresh_child(y)
         elif kind == "del":
-            self.fam_score[y] += self.gain_del[x, y]
-            self.adj[x, y] = False
+            self._apply_del(x, y)
             self.reach = self._timed_closure(self.adj)
             self._refresh_child(y)
         else:  # reversal x->y  =>  y->x
@@ -258,8 +223,47 @@ class _DeltaState:
             self.adj[x, y] = False
             self.adj[y, x] = True
             self.reach = self._timed_closure(self.adj)
-            self._refresh_child(y)
-            self._refresh_child(x)
+            self._refresh_children([y, x])
+
+    def apply_batch(
+        self, add: np.ndarray, dele: np.ndarray, limit: int,
+        min_improvement: float,
+    ) -> int:
+        """Accept up to ``limit`` add/del moves for DISTINCT children in one
+        pass, then refresh every touched child with ONE batched dispatch.
+
+        Sound because family scores are per-child independent: each child's
+        gain is exact regardless of what other children's moves do.  Cross-
+        move acyclicity is preserved by re-checking each add against the
+        incrementally-updated closure (adds keep it exact; deletions leave
+        it overstated, which can only conservatively skip a legal add).
+        Returns the number of accepted moves.
+        """
+        ga, gx = add.max(axis=0), add.argmax(axis=0)
+        gd, dx = dele.max(axis=0), dele.argmax(axis=0)
+        child_gain = np.maximum(ga, gd)
+        order = np.argsort(-child_gain)[:limit]
+        applied = []
+        deleted = False
+        for y in order:
+            g = child_gain[y]
+            if not np.isfinite(g) or g <= min_improvement:
+                break
+            y = int(y)
+            if ga[y] >= gd[y]:
+                x = int(gx[y])
+                if self.reach[y, x]:  # x now reachable from y -> cycle
+                    continue
+                self._apply_add(x, y)
+            else:
+                self._apply_del(int(dx[y]), y)
+                deleted = True
+            applied.append(y)
+        if deleted:
+            self.reach = self._timed_closure(self.adj)
+        if applied:
+            self._refresh_children(applied)
+        return len(applied)
 
 
 def delta_hill_climb(
@@ -270,8 +274,9 @@ def delta_hill_climb(
     min_improvement: float = 1e-4,
     chunk: int = 4096,
     time_budget_s: float | None = None,
+    accept_batch: int = 1,
 ) -> HillClimbResult:
-    """Greedy best-move climb using cached family deltas.
+    """Greedy climb using cached family deltas.
 
     Same result contract as ``hillclimb.hill_climb``; ``num_evals`` counts
     family evaluations (each is one node-score, ~n-fold cheaper than a full
@@ -280,6 +285,13 @@ def delta_hill_climb(
     (every accepted move only ever improves the score, so the incumbent is
     always valid) instead of risking an external timeout that loses the
     whole result at link scale (n=724, host loop per accepted move).
+
+    ``accept_batch > 1`` accepts up to that many positive-gain moves for
+    distinct children per frontier scan (see ``_DeltaState.apply_batch``) —
+    the per-move refresh dispatch is the dominant cost through a remote
+    device, and family-score decomposability makes multi-child acceptance
+    exact.  Reversals still go one at a time (they need an exact
+    alternative-path acyclicity check).
     """
     import time as _time
 
@@ -295,17 +307,21 @@ def delta_hill_climb(
     state = _DeltaState(fam, adj0, fam.max_parents, chunk)
     history = [float(state.fam_score.sum())]
 
-    for it in range(max_iters):
+    def result(iters, converged):
+        return HillClimbResult(
+            best_score=float(state.fam_score.sum()),
+            best_adj=state.adj.astype(np.float32),
+            iterations=iters,
+            num_evals=state.evals,
+            history=history,
+            converged=converged,
+            profile=state.profile(),
+        )
+
+    moves = 0
+    while moves < max_iters:
         if deadline is not None and _time.monotonic() > deadline:
-            return HillClimbResult(
-                best_score=float(state.fam_score.sum()),
-                best_adj=state.adj.astype(np.float32),
-                iterations=it,
-                num_evals=state.evals,
-                history=history,
-                converged=False,
-                profile=state.profile(),
-            )
+            return result(moves, False)
         add, dele, rev = state.feasible_deltas()
         while True:
             deltas = np.stack(
@@ -315,14 +331,7 @@ def delta_hill_climb(
             kind_i = int(np.argmax(deltas))
             best_delta = float(deltas[kind_i])
             if not np.isfinite(best_delta) or best_delta <= min_improvement:
-                return HillClimbResult(
-                    best_score=float(state.fam_score.sum()),
-                    best_adj=state.adj.astype(np.float32),
-                    iterations=it,
-                    num_evals=state.evals,
-                    history=history,
-                    profile=state.profile(),
-                )
+                return result(moves, True)
             kind = ("add", "del", "rev")[kind_i]
             mat = (add, dele, rev)[kind_i]
             x, y = np.unravel_index(int(np.argmax(mat)), mat.shape)
@@ -330,15 +339,14 @@ def delta_hill_climb(
                 rev[x, y] = NEG_INF  # cyclic via an alternative path
                 continue
             break
-        state.apply(kind, int(x), int(y))
+        if kind == "rev" or accept_batch <= 1:
+            state.apply(kind, int(x), int(y))
+            moves += 1
+        else:
+            moves += state.apply_batch(
+                add, dele, min(accept_batch, max_iters - moves),
+                min_improvement,
+            )
         history.append(float(state.fam_score.sum()))
 
-    return HillClimbResult(
-        best_score=float(state.fam_score.sum()),
-        best_adj=state.adj.astype(np.float32),
-        iterations=max_iters,
-        num_evals=state.evals,
-        history=history,
-        converged=False,
-        profile=state.profile(),
-    )
+    return result(moves, False)

@@ -43,6 +43,9 @@ class SearchConfig:
     # anytime bound for the delta climber (n > 48): return the incumbent
     # when the wall clock runs out instead of dying to an external timeout
     hill_climb_time_s: Optional[float] = None
+    # delta climber: accept up to this many distinct-child moves per
+    # frontier scan (one batched refresh dispatch instead of one per move)
+    hill_climb_accept_batch: int = 1
     gp_train_points: int = 4000
     gp_iters: int = 500
     gp_ascent_seeds: int = 256

@@ -80,6 +80,31 @@ def test_delta_hill_climb_from_init_and_acyclicity():
     assert res.best_score >= init_score - 1e-6
 
 
+def test_delta_hill_climb_batch_acceptance():
+    # accept_batch > 1 folds several distinct-child moves into one refresh
+    # dispatch; the result must still be a DAG within the cap, at least as
+    # good as the single-move climb's certified local optimum quality-wise
+    # within a small tolerance, and must report convergence + a profile.
+    _, ds, bs, fb = _setup(seed=5, n=10)
+    n = ds.num_variables
+    single = delta_hill_climb(fb, n, max_iters=400, accept_batch=1)
+    batched = delta_hill_climb(fb, n, max_iters=400, accept_batch=8)
+    reach = _closure_bool(batched.best_adj > 0)
+    assert not reach.diagonal().any()
+    assert (batched.best_adj.sum(0) <= fb.max_parents).all()
+    assert single.converged and batched.converged
+    assert batched.profile is not None
+    # both are local optima of the same move set; greedy path may differ,
+    # but internal bookkeeping must agree with exact rescoring
+    exact_b = float(bs.score_exact(batched.best_adj[None])[0])
+    assert abs(exact_b - batched.best_score) < 1.0
+    assert batched.best_score >= single.best_score - 0.01 * abs(
+        single.best_score
+    )
+    # the batched climb must reach its optimum in fewer frontier scans
+    assert len(batched.history) <= len(single.history)
+
+
 def test_delta_hill_climb_time_budget_returns_incumbent():
     _, ds, bs, fb = _setup()
     n = ds.num_variables
