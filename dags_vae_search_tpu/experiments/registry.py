@@ -104,7 +104,7 @@ def build_registry() -> Dict[str, ExperimentConfig]:
     # recipe (embed 32/layers 3/lr 1e-4/60 epochs) plateaued at loss ~79
     # per graph with zero reconstruction; the doubled model + 3e-4 cosine
     # reaches loss ~4 within 30 epochs (runs/child@big probe).
-    for name in ("child", "alarm"):
+    for name in ("child", "alarm", "insurance", "water", "mildew", "barley"):
         registry[name] = _catalog_experiment(
             name,
             corpus_batch=64,
@@ -117,7 +117,7 @@ def build_registry() -> Dict[str, ExperimentConfig]:
         )
 
     # large nets (config 4) — density cap 0.1; same scaled recipe.
-    for name in ("hepar2", "win95pts"):
+    for name in ("hepar2", "win95pts", "hailfinder"):
         registry[name] = _catalog_experiment(
             name,
             corpus_batch=32,
@@ -136,7 +136,7 @@ def build_registry() -> Dict[str, ExperimentConfig]:
     # 123k-decode CEM budget would cost hours at n=223/724 for a latent
     # space that (at demonstration training budgets) cannot beat the
     # family-delta climber anyway.
-    for name in ("andes", "link"):
+    for name in ("andes", "link", "pathfinder", "diabetes", "pigs"):
         n = CATALOG[name].num_vertices
         registry[name] = _catalog_experiment(
             name,
