@@ -48,6 +48,7 @@ anchor ``/root/reference/README.md:53-58``).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -206,21 +207,12 @@ def sample_decode(
     return labels, adj, finished
 
 
-def decode_to_labeled(
-    model: PaceVAE,
-    variables,
-    z: jnp.ndarray,
-    rng: jax.Array,
-    constrain_labels: bool = True,
-    temperature=1.0,
-    max_in_degree: Optional[int] = None,
-) -> Tuple[DagBatch, jnp.ndarray]:
-    """Decode latents to labeled DAGs + validity mask.
-
-    Validity = unwrapped labels all within the real cardinality (the tensor
-    equivalent of ``LabeledDag.is_valid_graph`` on decoded graphs; DAG-ness
-    holds by construction since sampled edges only point forward).
-    """
+@functools.partial(
+    jax.jit, static_argnames=("model", "constrain_labels", "max_in_degree")
+)
+def _decode_to_labeled_jit(
+    model, variables, z, rng, constrain_labels, temperature, max_in_degree
+):
     labels, adj, _ = sample_decode(
         model,
         variables,
@@ -235,3 +227,35 @@ def decode_to_labeled(
         unwrapped.labels, unwrapped.adj, model.real_label_cardinality
     )
     return unwrapped, valid
+
+
+def decode_to_labeled(
+    model: PaceVAE,
+    variables,
+    z: jnp.ndarray,
+    rng: jax.Array,
+    constrain_labels: bool = True,
+    temperature=1.0,
+    max_in_degree: Optional[int] = None,
+) -> Tuple[DagBatch, jnp.ndarray]:
+    """Decode latents to labeled DAGs + validity mask.
+
+    Validity = unwrapped labels all within the real cardinality (the tensor
+    equivalent of ``LabeledDag.is_valid_graph`` on decoded graphs; DAG-ness
+    holds by construction since sampled edges only point forward).
+
+    Jitted end to end (the flax module is a hashable static argument, so
+    equal-config models share one compile): unjitted, the scan plus its
+    surrounding ops issue dozens of eager dispatches per call — ruinous
+    through a remote-tunnel device at ~100 ms per dispatch.  ``temperature``
+    stays a traced scalar, so annealing schedules reuse the one executable.
+    """
+    return _decode_to_labeled_jit(
+        model,
+        variables,
+        z,
+        rng,
+        constrain_labels,
+        jnp.asarray(temperature, jnp.float32),
+        max_in_degree,
+    )

@@ -75,15 +75,18 @@ def decode_and_score(
         # Unlabeled corpora (e.g. synthetic_12): slot i IS column i.
         scores = jnp.where(valid, scorer.score(recon.adj), -jnp.inf)
         return scores, recon.labels, recon.adj
-    n = recon.labels.shape[-1]
-    label_counts = jnp.sum(
-        jax.nn.one_hot(recon.labels, n, dtype=jnp.float32), axis=1
-    )
-    is_permutation = jnp.all(label_counts == 1.0, axis=-1)
-    relabeled = relabel_to_columns(recon.labels, recon.adj)
+    relabeled, is_permutation = _relabel_and_check(recon.labels, recon.adj)
     scores = scorer.score(relabeled)
     scores = jnp.where(valid & is_permutation, scores, -jnp.inf)
     return scores, recon.labels, recon.adj
+
+
+@jax.jit
+def _relabel_and_check(labels: jnp.ndarray, adj: jnp.ndarray):
+    """(label-relabeled adjacency, is-a-permutation mask) in one dispatch."""
+    n = labels.shape[-1]
+    counts = jnp.sum(jax.nn.one_hot(labels, n, dtype=jnp.float32), axis=1)
+    return relabel_to_columns(labels, adj), jnp.all(counts == 1.0, axis=-1)
 
 
 def _update_best(best, scores, labels, adj, z):

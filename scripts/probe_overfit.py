@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--density", type=float, default=0.2)
     ap.add_argument("--steps-per-call", type=int, default=20)
     ap.add_argument("--log-every-epochs", type=int, default=25)
+    ap.add_argument("--no-acc", action="store_true",
+                    help="skip decode-accuracy probes (saves the decode "
+                    "scan compile; loss/kld trajectory is the signal)")
     args = ap.parse_args()
 
     import jax
@@ -117,15 +120,17 @@ def main():
 
     def probe(epoch, st):
         e = latest.get("entry", {})
-        print(json.dumps({
+        row = {
             "epoch": epoch,
             "loss": round(e.get("loss_per_graph", float("nan")), 4),
             "recon": round(e.get("recon_per_graph", float("nan")), 4),
             "kld": round(e.get("kld_per_graph", float("nan")), 4),
-            "acc@T1": round(recon_acc(st, 1.0), 3),
-            "acc@T0.1": round(recon_acc(st, 0.1), 3),
-            "elapsed_s": round(time.time() - t0, 1),
-        }), flush=True)
+        }
+        if not args.no_acc:
+            row["acc@T1"] = round(recon_acc(st, 1.0), 3)
+            row["acc@T0.1"] = round(recon_acc(st, 0.1), 3)
+        row["elapsed_s"] = round(time.time() - t0, 1)
+        print(json.dumps(row), flush=True)
 
     # Hook the per-epoch entry: wrap history via a tiny Trainer subclass-free
     # trick — fit calls checkpoint_fn AFTER appending the entry is not
