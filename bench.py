@@ -21,9 +21,17 @@ Extra fields:
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent XLA compile cache: first-compile of the scan-heavy programs
+# costs minutes through the remote-compile tunnel; cached reloads are
+# seconds, and the cache carries across processes/rounds.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache")
+)
 
 V5E_PEAK_FLOPS = 197e12  # bf16; f32 via MXU passthrough is ~half
 

@@ -103,8 +103,12 @@ def build_registry() -> Dict[str, ExperimentConfig]:
     # medium nets (BASELINE.json config 3) — density cap 0.2.  The r1
     # recipe (embed 32/layers 3/lr 1e-4/60 epochs) plateaued at loss ~79
     # per graph with zero reconstruction; the doubled model + 3e-4 cosine
-    # reaches loss ~4 within 30 epochs (runs/child@big probe).
-    for name in ("child", "alarm", "insurance", "water", "mildew", "barley"):
+    # reaches loss ~4 within 30 epochs (runs/child@big probe).  At n >= ~30
+    # even 3e-4 is too slow (alarm r2: edge head stuck at chance, loss
+    # 226/graph after 120 epochs) — the r3 memorization probes show lr 1e-3
+    # cuts the same-budget loss 4.4x (probe B vs A, scripts/probe_overfit),
+    # so the n >= 30 tier trains at 1e-3 with a longer cosine.
+    for name in ("child", "insurance"):
         registry[name] = _catalog_experiment(
             name,
             corpus_batch=64,
@@ -115,15 +119,27 @@ def build_registry() -> Dict[str, ExperimentConfig]:
             model=ModelConfig(embed_size=64, num_layers=4, latent_size=128,
                               fc_hidden=64),
         )
+    for name in ("alarm", "water", "mildew", "barley"):
+        registry[name] = _catalog_experiment(
+            name,
+            corpus_batch=64,
+            steps=20,
+            train=TrainConfig(batch_size=128, epochs=150, learning_rate=1e-3,
+                              lr_schedule="cosine", warmup_epochs=5,
+                              steps_per_call=50),
+            model=ModelConfig(embed_size=64, num_layers=4, latent_size=128,
+                              fc_hidden=64),
+        )
 
-    # large nets (config 4) — density cap 0.1; same scaled recipe.
+    # large nets (config 4) — density cap 0.1; scaled recipe at the fast lr
+    # (r2's 3e-4 left the edge head at chance: hepar2 loss 871/graph).
     for name in ("hepar2", "win95pts", "hailfinder"):
         registry[name] = _catalog_experiment(
             name,
             corpus_batch=32,
             steps=16,
-            train=TrainConfig(batch_size=128, epochs=80, learning_rate=3e-4,
-                              lr_schedule="cosine", warmup_epochs=3,
+            train=TrainConfig(batch_size=128, epochs=120, learning_rate=1e-3,
+                              lr_schedule="cosine", warmup_epochs=5,
                               steps_per_call=50),
             model=ModelConfig(embed_size=64, num_layers=4, latent_size=128,
                               fc_hidden=64),

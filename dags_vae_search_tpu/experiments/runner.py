@@ -31,6 +31,12 @@ from typing import Optional
 
 import numpy as np
 
+# Persistent XLA compile cache (cross-process): stage processes recompile
+# the same scan-heavy programs otherwise — minutes each via remote compile.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache")
+)
+
 
 class ExperimentRunner:
     def __init__(

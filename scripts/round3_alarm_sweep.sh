@@ -7,6 +7,7 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 RUNS=${1:-runs}
 EPOCHS=${2:-30}
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-$HOME/.jax_cache}
 R="python -m dags_vae_search_tpu.experiments.runner"
 
 # Shared corpus for all variants.
@@ -21,15 +22,17 @@ probe() {
     --epochs "$EPOCHS" "$@" || echo "!!! FAILED alarm@$name"
 }
 
+# The memorization probes (scripts/probe_overfit.py, logs in the round-3
+# notes) already settled lr: 1e-3 beats 3e-4 4.4x at equal budget.  The
+# runner sweep records the remaining axes on the real corpus: capacity,
+# latent size, dropout, and the slow-lr control.
 probe base
-probe lat256   --latent-size 256
+probe lr3e4    --lr 3e-4
 probe big      --embed-size 128 --latent-size 256 --fc-hidden 128
-probe biglr    --embed-size 128 --latent-size 256 --fc-hidden 128 --lr 1e-3
 probe bigdrop0 --embed-size 128 --latent-size 256 --fc-hidden 128 --dropout 0.05
-probe deep     --embed-size 128 --num-layers 6 --latent-size 256 --fc-hidden 128
 
 echo "=== sweep losses:"
-for v in base lat256 big biglr bigdrop0 deep; do
+for v in base lr3e4 big bigdrop0; do
   python - "$RUNS" "$v" <<'EOF'
 import json, sys
 try:
