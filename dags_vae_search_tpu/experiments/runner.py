@@ -424,13 +424,16 @@ class ExperimentRunner:
 
         t0 = time.time()
         hc = climb()
+        hc_seconds = time.time() - t0
         result_payload["hill_climb"] = {
             "best_bic": float(scorer.score_exact(hc.best_adj[None])[0]),
             "iterations": hc.iterations,
             "evals": hc.num_evals,
-            "seconds": time.time() - t0,
+            "seconds": hc_seconds,
+            "evals_per_sec": hc.num_evals / max(hc_seconds, 1e-9),
             "impl": "delta" if use_delta else "dense",
             "converged": bool(hc.converged),
+            **({"profile": hc.profile} if hc.profile else {}),
         }
 
         # Latent-space: island CEM through the trained VAE decoder, seeded
