@@ -262,15 +262,42 @@ class Trainer:
         )
 
         if device_loop:
+            # The whole corpus moves to HBM once.  Dense [R, n, n] float32 is
+            # ~1 GB at alarm scale, and through the remote-tunnel device the
+            # TRANSFER (not compilation) dominates startup — so ship 0/1
+            # adjacencies as packed bits (32x smaller) and unpack into the
+            # dense HBM corpus on-device.  The mesh path (tests: local CPU
+            # devices, no tunnel) keeps the plain dense transfer.
+            t_put = time.time()
             if self.mesh is not None:
                 corpus_labels, corpus_adj = (
                     mesh_lib.replicate_tree(
                         self.mesh, (jnp.asarray(corpus.labels), jnp.asarray(corpus.adj))
                     )
                 )
+                sent_mb = (corpus.labels.nbytes + corpus.adj.nbytes) / 1e6
             else:
-                corpus_labels = jnp.asarray(corpus.labels)
-                corpus_adj = jnp.asarray(corpus.adj)
+                n = corpus.num_vertices
+                packed = np.packbits(
+                    (np.asarray(corpus.adj) > 0).astype(np.uint8), axis=-1
+                )  # uint8[R, n, ceil(n/8)] (MSB-first rows)
+
+                @jax.jit
+                def _unpack(p, lb):
+                    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+                    bits = (p[..., None] >> shifts) & jnp.uint8(1)
+                    dense = bits.reshape(p.shape[0], n, -1)[..., :n]
+                    return dense.astype(jnp.float32), lb.astype(jnp.int32)
+
+                corpus_adj, corpus_labels = _unpack(
+                    packed, corpus.labels.astype(np.int16)
+                )
+                sent_mb = (packed.nbytes + corpus.labels.nbytes // 2) / 1e6
+            jax.block_until_ready((corpus_labels, corpus_adj))
+            log(
+                f"corpus -> device: {sent_mb:,.0f} MB sent "
+                f"in {time.time() - t_put:.1f}s"
+            )
 
         horizon = start_epoch + epochs - 1
         for epoch in range(start_epoch, start_epoch + epochs):
@@ -305,11 +332,17 @@ class Trainer:
                             ),
                         )
                     key, sub = jax.random.split(key)
+                    t_chunk = time.time()
                     with timer.step(items=k), annotate("train_chunk"):
                         state, stacked = self._chunk_step(
                             state, corpus_labels, corpus_adj, block, sub
                         )
                         jax.block_until_ready(stacked)
+                    if epoch == start_epoch and batches == 0:
+                        log(
+                            "first chunk (compile + run): "
+                            f"{time.time() - t_chunk:.1f}s"
+                        )
                     batches += k
                     # log when a multiple of log_every was crossed this chunk
                     if config.log_every and (

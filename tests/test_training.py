@@ -191,6 +191,36 @@ def test_fit_resilient_gives_up(tmp_path):
         )
 
 
+def test_device_loop_packed_transfer_matches_per_step():
+    """The chunked device loop ships the corpus as packed bits and unpacks
+    on device; it must train to the same kind of result as the per-step
+    path (same corpus, same seeds -> identical permutations, so the only
+    difference is the transfer encoding)."""
+    corpus = tiny_corpus(64)
+    model = tiny_model()
+
+    def run(steps_per_call):
+        trainer = Trainer(
+            model,
+            TrainConfig(
+                batch_size=16, epochs=2, log_every=0,
+                steps_per_call=steps_per_call,
+            ),
+        )
+        state = trainer.init_state(
+            jax.random.PRNGKey(0), corpus.labels[:2], corpus.adj[:2]
+        )
+        state, history = trainer.fit(state, corpus, log=lambda s: None)
+        return history[-1]["loss_per_graph"]
+
+    chunked = run(2)
+    per_step = run(1)
+    assert np.isfinite(chunked)
+    # Same data order and init; RNG folding differs per path, so allow the
+    # small sampling-noise gap (dropout + reparameterization draws).
+    assert abs(chunked - per_step) / abs(per_step) < 0.05
+
+
 def test_packed_corpus_roundtrip_and_training():
     rng = np.random.default_rng(7)
     labels, adj = sampler.sample_er_batch(rng, 32, 5, 6, 5)
