@@ -138,6 +138,9 @@ def build_registry() -> Dict[str, ExperimentConfig]:
             name,
             corpus_batch=32,
             steps=16,
+            # steps_per_call: these corpora are bit-packed (n > 64) and now
+            # run the chunked device loop with on-device unpack — per-step
+            # dispatch through the remote tunnel costs ~1 s/step otherwise.
             train=TrainConfig(batch_size=128, epochs=120, learning_rate=1e-3,
                               lr_schedule="cosine", warmup_epochs=5,
                               steps_per_call=50),
@@ -158,7 +161,8 @@ def build_registry() -> Dict[str, ExperimentConfig]:
             name,
             corpus_batch=8,
             steps=12,
-            train=TrainConfig(batch_size=16, epochs=20, learning_rate=1e-4),
+            train=TrainConfig(batch_size=16, epochs=20, learning_rate=1e-4,
+                              steps_per_call=25),
             model=ModelConfig(latent_size=128),
             search=SearchConfig(
                 max_parents=min(8, n - 1),

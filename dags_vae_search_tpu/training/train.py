@@ -58,6 +58,19 @@ class TrainConfig:
     steps_per_call: int = 1
 
 
+def _dense_adj(adj: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Dense float32 adjacency from either encoding (static under jit).
+
+    uint8 input = np.packbits rows (MSB-first): unpack with shifts and trim
+    the byte padding; anything else is already dense and only needs a cast.
+    """
+    if adj.dtype != jnp.uint8:
+        return adj.astype(jnp.float32)
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (adj[..., None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(*adj.shape[:-1], -1)[..., :n].astype(jnp.float32)
+
+
 class PlateauState(NamedTuple):
     """Host-side ReduceLROnPlateau (mode='min', rel threshold)."""
 
@@ -111,6 +124,14 @@ class Trainer:
         )
         self._train_step = jax.jit(self._make_train_step())
         self._chunk_step = jax.jit(self._make_chunk_step())
+        # Device-side batch gather for either corpus encoding (dense f32 or
+        # packed uint8 rows + int16 labels) — used by leftover steps.
+        self._gather_batch = jax.jit(
+            lambda lb, ad, row: (
+                jnp.take(lb, row, axis=0).astype(jnp.int32),
+                _dense_adj(jnp.take(ad, row, axis=0), lb.shape[1]),
+            )
+        )
 
     def _make_train_step(self) -> Callable:
         model, optimizer = self.model, self.optimizer
@@ -149,11 +170,18 @@ class Trainer:
 
         def chunk_step(state: TrainState, corpus_labels, corpus_adj, idx, key):
             # idx: int32[K, B] — gather indices for K consecutive steps.
+            # ``corpus_adj`` is dense float32[R, n, n] or bit-packed
+            # uint8[R, n, ceil(n/8)] (large-n corpora stay packed in HBM —
+            # n=724 costs 91 B/row packed vs 2 MB dense); dtype is static
+            # under jit, so the unpack branch compiles away when dense.
             def body(carry, step_idx):
                 state, key = carry
                 key, sub = jax.random.split(key)
-                labels = jnp.take(corpus_labels, step_idx, axis=0)
+                labels = jnp.take(corpus_labels, step_idx, axis=0).astype(
+                    jnp.int32
+                )
                 adj = jnp.take(corpus_adj, step_idx, axis=0)
+                adj = _dense_adj(adj, labels.shape[-1])
                 state, metrics = train_step(state, labels, adj, sub)
                 return (state, key), jnp.stack(
                     [metrics["loss"], metrics["recon"], metrics["kld"]]
@@ -257,17 +285,20 @@ class Trainer:
         plateau = PlateauState(float("inf"), 0, config.learning_rate)
         history: List[Dict] = []
         time_start = time.time()
-        device_loop = (
-            config.steps_per_call > 1 and corpus.packed_bits is None
+        device_loop = config.steps_per_call > 1 and (
+            corpus.packed_bits is None or self.mesh is None
         )
 
         if device_loop:
             # The whole corpus moves to HBM once.  Dense [R, n, n] float32 is
             # ~1 GB at alarm scale, and through the remote-tunnel device the
-            # TRANSFER (not compilation) dominates startup — so ship 0/1
-            # adjacencies as packed bits (32x smaller) and unpack into the
-            # dense HBM corpus on-device.  The mesh path (tests: local CPU
-            # devices, no tunnel) keeps the plain dense transfer.
+            # TRANSFER (not compilation, which measures ~39 s) dominates
+            # startup — so 0/1 adjacencies always travel as packed bits (32x
+            # smaller, int16 labels).  Mid-size corpora unpack once into a
+            # dense HBM corpus; already-packed large-n corpora (n > 64) STAY
+            # packed in HBM and the chunk step unpacks each gathered batch
+            # (link: 91 B/row packed vs 2 MB dense).  The mesh path (tests:
+            # local CPU devices, no tunnel) keeps the plain dense transfer.
             t_put = time.time()
             if self.mesh is not None:
                 corpus_labels, corpus_adj = (
@@ -276,6 +307,12 @@ class Trainer:
                     )
                 )
                 sent_mb = (corpus.labels.nbytes + corpus.adj.nbytes) / 1e6
+            elif corpus.packed_bits is not None:
+                corpus_labels = jnp.asarray(corpus.labels.astype(np.int16))
+                corpus_adj = jnp.asarray(corpus.packed_bits)
+                sent_mb = (
+                    corpus.packed_bits.nbytes + corpus.labels.nbytes // 2
+                ) / 1e6
             else:
                 n = corpus.num_vertices
                 packed = np.packbits(
@@ -284,10 +321,7 @@ class Trainer:
 
                 @jax.jit
                 def _unpack(p, lb):
-                    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
-                    bits = (p[..., None] >> shifts) & jnp.uint8(1)
-                    dense = bits.reshape(p.shape[0], n, -1)[..., :n]
-                    return dense.astype(jnp.float32), lb.astype(jnp.int32)
+                    return _dense_adj(p, n), lb.astype(jnp.int32)
 
                 corpus_adj, corpus_labels = _unpack(
                     packed, corpus.labels.astype(np.int16)
@@ -358,8 +392,9 @@ class Trainer:
                 # leftover (< k) steps go through the single-step path so
                 # every batch of the epoch is consumed.
                 for step_row in perm[steps - (steps % k) :]:
-                    labels = jnp.take(corpus_labels, jnp.asarray(step_row), axis=0)
-                    adj = jnp.take(corpus_adj, jnp.asarray(step_row), axis=0)
+                    labels, adj = self._gather_batch(
+                        corpus_labels, corpus_adj, jnp.asarray(step_row)
+                    )
                     key, sub = jax.random.split(key)
                     state, metrics = self._train_step(state, labels, adj, sub)
                     batches += 1

@@ -236,6 +236,7 @@ def test_packed_corpus_roundtrip_and_training():
     state = trainer.init_state(
         jax.random.PRNGKey(0), corpus.labels[:2], corpus.dense_batch(np.arange(2))
     )
-    # packed corpora must silently use the per-step path
+    # packed corpora run the chunked device loop too: the corpus stays
+    # bit-packed in device memory and each gathered batch unpacks on device
     state, history = trainer.fit(state, train, log=lambda s: None)
     assert np.isfinite(history[-1]["loss_per_graph"])
