@@ -59,6 +59,8 @@ def _catalog_experiment(
             batch_size=corpus_batch,
             steps_limit=steps,
             density_limit=density if density is not None else density_cap(n),
+            # generation/scoring feasibility alignment (VERDICT r3 #4)
+            max_in_degree=search.max_parents,
         ),
         train=train,
         search=search,
@@ -94,7 +96,8 @@ def build_registry() -> Dict[str, ExperimentConfig]:
         name="synthetic_12",
         num_vertices=12,
         label_cardinality=1,
-        corpus=CorpusConfig(batch_size=200, steps_limit=20, density_limit=0.4),
+        corpus=CorpusConfig(batch_size=200, steps_limit=20, density_limit=0.4,
+                            max_in_degree=8),
         train=TrainConfig(batch_size=32, epochs=50, learning_rate=1e-4,
                           steps_per_call=100),
         search=SearchConfig(max_parents=8),

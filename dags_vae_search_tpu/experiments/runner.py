@@ -205,6 +205,7 @@ class ExperimentRunner:
             self.config.corpus.steps_limit,
             self.config.corpus.density_limit,
             self.config.corpus.label_method,
+            max_in_degree=self.config.corpus.max_in_degree,
         )
         codec.write_dataset(self.path("corpus"), labels, adj)
         self.report(

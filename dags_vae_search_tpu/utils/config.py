@@ -28,6 +28,11 @@ class CorpusConfig:
     density_limit: float = 0.4
     label_method: str = "sample"
     test_ratio: float = 0.1
+    # Per-vertex parent cap for generated graphs (None = uncapped).  Set to
+    # the experiment's ``search.max_parents`` so corpora, decode, and scorer
+    # agree about feasibility (VERDICT r3 #4: uncapped alarm corpora made
+    # 54% of predictor rows -inf under the capped scorer).
+    max_in_degree: Optional[int] = None
 
 
 @dataclass

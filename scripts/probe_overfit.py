@@ -65,7 +65,8 @@ def main():
     parts = []
     for m in np.linspace(n - 1, max_edges, 4).astype(int):
         parts.append(sampler.sample_er_batch(rng, per, n, int(m), n,
-                                             on_exhaust="partial"))
+                                             on_exhaust="partial",
+                                             max_in_degree=8))
     labels = np.concatenate([p[0] for p in parts])
     adj = np.concatenate([p[1] for p in parts])
     corpus = data_lib.Corpus(labels=labels, adj=adj)

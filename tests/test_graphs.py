@@ -224,3 +224,39 @@ def test_constructive_connected_sampler():
     assert np.all(np.asarray(num_edges(jnp.asarray(adj))) == 60)
     assert np.all(np.asarray(is_weakly_connected(jnp.asarray(adj))))
     assert bool(np.all(is_valid_labeled(jnp.asarray(labels), jnp.asarray(adj), 40)))
+
+
+def test_capped_sampler_feasibility():
+    """In-degree-capped generation (scorer/decode feasibility alignment)."""
+    rng = np.random.default_rng(11)
+    _, adj = sampler.sample_er_batch(
+        rng, 32, 37, 133, 37, on_exhaust="partial", max_in_degree=8
+    )
+    assert adj.shape[0] > 0
+    assert (adj.sum(axis=1) <= 8).all()
+    assert (adj.sum(axis=(1, 2)) == 133).all()
+    assert np.all(np.asarray(is_weakly_connected(jnp.asarray(adj))))
+
+    _, cadj = sampler.sample_connected_dags(rng, 8, 90, 260, 90, max_in_degree=4)
+    assert (cadj.sum(axis=1) <= 4).all()
+    assert (cadj.sum(axis=(1, 2)) == 260).all()
+    assert np.all(np.asarray(is_weakly_connected(jnp.asarray(cadj))))
+
+
+def test_capped_sampler_legacy_parity():
+    """cap >= n-1 must reproduce the uncapped stream byte-for-byte (seeded
+    corpora, e.g. asia's, regenerate identically)."""
+    a = sampler.sample_er_batch(np.random.default_rng(5), 16, 8, 11, 8)
+    b = sampler.sample_er_batch(
+        np.random.default_rng(5), 16, 8, 11, 8, max_in_degree=7
+    )
+    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+
+
+def test_generate_corpus_clips_to_cap_feasible():
+    """Schedule entries above the cap-feasible max are clipped + merged."""
+    rng = np.random.default_rng(2)
+    labels, adj = sampler.generate_corpus(rng, 80, 80, 2, 4, 0.5, max_in_degree=3)
+    limit = sampler.max_edges_capped(80, 3)
+    assert (adj.sum(axis=1) <= 3).all()
+    assert int(adj.sum(axis=(1, 2)).max()) == limit
