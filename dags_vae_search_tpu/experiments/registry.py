@@ -47,6 +47,9 @@ def _catalog_experiment(
             max_parents=min(8, n - 1),
             # the delta climber (n > 48) is dispatch-bound: batch-accept
             hill_climb_accept_batch=8 if n > 48 else 1,
+            # basin hopping is cheap at small n; the delta climber pays
+            # a full frontier rescan per climb, so fewer kicks there
+            hill_climb_restarts=4 if n > 48 else 8,
         )
     return ExperimentConfig(
         name=name,
@@ -182,6 +185,9 @@ def build_registry() -> Dict[str, ExperimentConfig]:
                 # fold up to 16 distinct-child moves into one refresh
                 # dispatch — the climb is dispatch-latency-bound at n>=223
                 hill_climb_accept_batch=16,
+                # one basin-hopping kick (the wall budget splits across
+                # climbs, so more kicks would starve the first climb)
+                hill_climb_restarts=1,
                 # a single decode is an O(n)-step scan at n=223/724, so the
                 # default 256-seed x 9-pass GP-ascent budget would dominate
                 # the whole search stage

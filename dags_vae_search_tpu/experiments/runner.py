@@ -406,14 +406,23 @@ class ExperimentRunner:
             q_cap=scorer.q_cap,
         )
 
-        def climb(init_adj=None, max_iters=None):
+        # The per-climb wall budget divides across the basin-hopping
+        # restarts so the whole stage stays within hill_climb_time_s.
+        n_climbs = 1 + max(cfg.hill_climb_restarts, 0)
+        per_climb_time = (
+            cfg.hill_climb_time_s / n_climbs
+            if cfg.hill_climb_time_s is not None
+            else None
+        )
+
+        def climb(init_adj=None, max_iters=None, time_s=per_climb_time):
             if use_delta:
                 return delta_hill_climb(
                     fam_scorer,
                     n_vars,
                     init_adj=init_adj,
                     max_iters=max_iters or max(cfg.hill_climb_iters, 4 * n_vars),
-                    time_budget_s=cfg.hill_climb_time_s,
+                    time_budget_s=time_s,
                     accept_batch=cfg.hill_climb_accept_batch,
                 )
             return hillclimb.hill_climb(
@@ -424,7 +433,12 @@ class ExperimentRunner:
             )
 
         t0 = time.time()
-        hc = climb()
+        hc = hillclimb.climb_with_restarts(
+            climb,
+            np.random.default_rng(self.config.seed + 11),
+            restarts=max(cfg.hill_climb_restarts, 0),
+            max_parents=cfg.max_parents,
+        )
         hc_seconds = time.time() - t0
         result_payload["hill_climb"] = {
             "best_bic": float(scorer.score_exact(hc.best_adj[None])[0]),
@@ -433,6 +447,8 @@ class ExperimentRunner:
             "seconds": hc_seconds,
             "evals_per_sec": hc.num_evals / max(hc_seconds, 1e-9),
             "impl": "delta" if use_delta else "dense",
+            "restarts": max(cfg.hill_climb_restarts, 0),
+            "restart_history": [float(x) for x in hc.history[-n_climbs:]],
             "converged": bool(hc.converged),
             **({"profile": hc.profile} if hc.profile else {}),
         }

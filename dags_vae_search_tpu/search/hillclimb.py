@@ -79,6 +79,110 @@ def _feasible(adj: jnp.ndarray, cands: jnp.ndarray, offset=0) -> jnp.ndarray:
     return structural & acyclic
 
 
+def perturb_dag(
+    rng: np.random.Generator,
+    adj: np.ndarray,
+    delete_frac: float = 0.25,
+    add_frac: float = 0.25,
+    max_parents: Optional[int] = None,
+) -> np.ndarray:
+    """Random feasible perturbation of a DAG (basin-hopping kick).
+
+    Deletes ``delete_frac`` of the edges at random, then adds about
+    ``add_frac`` of the original edge count back as random
+    acyclicity-preserving (and in-degree-feasible) edges, maintaining the
+    reachability closure incrementally — O(n^2) per added edge.  Host-side
+    numpy; used between hill-climb restarts to escape local optima.
+    """
+    adj = np.asarray(adj, dtype=np.float32).copy()
+    n = adj.shape[0]
+    edges = np.argwhere(adj > 0)
+    m = len(edges)
+    if m == 0:
+        return adj
+    k_del = max(1, int(round(delete_frac * m)))
+    drop = edges[rng.choice(m, size=min(k_del, m), replace=False)]
+    adj[drop[:, 0], drop[:, 1]] = 0.0
+
+    # closure[u, v] = path u -> v (boolean, no self loops)
+    reachf = (adj > 0).astype(np.float32)
+    for _ in range(max(int(np.ceil(np.log2(max(n, 2)))), 1)):
+        reachf = np.clip(reachf + reachf @ reachf, 0.0, 1.0)
+    reach = reachf > 0
+    indeg = adj.sum(axis=0)
+    k_add = max(1, int(round(add_frac * m)))
+    for _ in range(k_add):
+        # candidate u -> v: no edge yet, u != v, no path v -> u, v has
+        # spare parent capacity
+        ok = (adj == 0) & ~np.eye(n, dtype=bool) & ~reach.T
+        if max_parents is not None:
+            ok &= (indeg < max_parents)[None, :]
+        cand = np.argwhere(ok)
+        if len(cand) == 0:
+            break
+        u, v = cand[rng.integers(len(cand))]
+        adj[u, v] = 1.0
+        indeg[v] += 1
+        # new paths: (ancestors(u) + u) x (descendants(v) + v)
+        src = reach[:, u].copy()
+        src[u] = True
+        dst = reach[v].copy()
+        dst[v] = True
+        reach |= np.outer(src, dst)
+        reach[np.arange(n), np.arange(n)] = False
+    return adj
+
+
+def climb_with_restarts(
+    climb,
+    rng: np.random.Generator,
+    restarts: int = 0,
+    max_parents: Optional[int] = None,
+    first: Optional[HillClimbResult] = None,
+) -> HillClimbResult:
+    """Basin hopping: greedy climb + ``restarts`` perturb-and-reclimb kicks.
+
+    ``climb(init_adj)`` runs one greedy climb (dense or family-delta).  Each
+    restart perturbs the incumbent with a random kick strength and climbs
+    again; the incumbent only ever improves.  bnlearn's own hill-climbing
+    ships the same device (``restart``/``perturb`` args of ``hc``) — the
+    reference never exposes it.  Returns the incumbent with evals/iterations
+    summed across all climbs and per-restart bests in ``history``.
+    """
+    from dags_vae_search_tpu.graphs import sampler as g_sampler
+
+    best = first if first is not None else climb(None)
+    n = best.best_adj.shape[0]
+    evals = best.num_evals
+    iters = best.iterations
+    history = [best.best_score]
+    for r in range(restarts):
+        if r % 2 == 0:
+            # kick: perturb the incumbent (stay near the good basin)
+            frac = float(rng.choice([0.15, 0.3, 0.5]))
+            init = perturb_dag(
+                rng, best.best_adj, delete_frac=frac, add_frac=frac,
+                max_parents=max_parents,
+            )
+        else:
+            # diversify: fresh random DAG under a random vertex order
+            m = int(rng.integers(n - 1, max(2 * n, n), endpoint=True))
+            m = min(m, g_sampler.max_edges_capped(n, max_parents))
+            _, adj0 = g_sampler.sample_er_batch(
+                rng, 1, n, m, n, require_connected=False,
+                max_in_degree=max_parents,
+            )
+            p = rng.permutation(n)
+            init = adj0[0][np.ix_(p, p)]
+        res = climb(init)
+        evals += res.num_evals
+        iters += res.iterations
+        if res.best_score > best.best_score:
+            best = res
+        history.append(best.best_score)
+    return best._replace(num_evals=evals, iterations=iters, history=history)
+
+
 def hill_climb(
     scorer: BicScorer,
     num_variables: int,

@@ -45,6 +45,10 @@ class SearchConfig:
     refine_iters: int = 15
     refine_population: int = 512
     hill_climb_iters: int = 200
+    # basin hopping: perturb-and-reclimb kicks after the first climb (the
+    # r3 asia saturation at -11,116.96 vs the certified -11,107.29 was a
+    # plain local optimum; restarts are milliseconds at small n)
+    hill_climb_restarts: int = 8
     # anytime bound for the delta climber (n > 48): return the incumbent
     # when the wall clock runs out instead of dying to an external timeout
     hill_climb_time_s: Optional[float] = None

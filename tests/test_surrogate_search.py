@@ -326,3 +326,34 @@ def test_refine_search_runs():
         jax.random.PRNGKey(0), iters=2, population=32,
     )
     assert len(res.history) == 2
+
+
+def test_perturb_dag_feasibility():
+    rng = np.random.default_rng(0)
+    n = 12
+    adj = np.triu(np.ones((n, n), np.float32), k=1) * (
+        rng.random((n, n)) < 0.3
+    )
+    for _ in range(5):
+        out = hillclimb.perturb_dag(rng, adj, 0.3, 0.3, max_parents=3)
+        # acyclic: trace of closure is zero
+        from dags_vae_search_tpu.graphs.dag import transitive_closure
+
+        closure = np.asarray(transitive_closure(jnp.asarray(out[None])))[0]
+        assert np.trace(closure) == 0
+        assert (out.sum(axis=0) <= 3 + adj.sum(axis=0).max()).all()
+        adj = out
+
+
+def test_climb_with_restarts_improves_on_single_climb(asia_scorer):
+    def climb(init_adj=None):
+        return hillclimb.hill_climb(asia_scorer, 8, init_adj=init_adj, max_iters=50)
+
+    single = climb()
+    multi = hillclimb.climb_with_restarts(
+        climb, np.random.default_rng(53), restarts=4, max_parents=7
+    )
+    assert multi.best_score >= single.best_score
+    assert multi.num_evals > single.num_evals
+    # history is the per-climb incumbent trajectory: monotone
+    assert multi.history == sorted(multi.history)
