@@ -353,7 +353,8 @@ def bo_search(
     trust_radius: Optional[float] = 0.5,
     explore_sigma: float = 0.25,
     gp_iters: int = 200,
-    max_gp_points: int = 3000,
+    gp_refit_iters: int = 50,
+    max_gp_points: int = 1536,
 ) -> SearchResult:
     """Closed-loop batched Bayesian optimization over the latent space.
 
@@ -397,6 +398,7 @@ def bo_search(
     history = [best.best_score]
 
     batch = z_init.shape[0]
+    prev_params = None
     for r in range(rounds):
         finite = np.isfinite(ys)
         if finite.sum() < 2:
@@ -417,7 +419,17 @@ def bo_search(
                 )
                 pick = np.concatenate([top, rand])
                 zf, yf = zf[pick], yf[pick]
-            gp = ExactGP().fit(zf, yf, iters=gp_iters)
+            # Warm-started refit: round 0 pays the full hyperparameter
+            # optimization; later rounds start from the previous optimum
+            # and take a short polish (the refit dominated BO wall-clock
+            # in r3 — 4.3 evals/s vs 27.6k/s raw decode+score throughput).
+            gp = ExactGP().fit(
+                zf,
+                yf,
+                iters=gp_iters if prev_params is None else gp_refit_iters,
+                init=prev_params,
+            )
+            prev_params = gp.params
             # Multi-start: current top latents + jittered copies.
             n_top = max(batch // 2, 1)
             starts = zf[np.argsort(-yf)[:n_top]]

@@ -101,7 +101,11 @@ class ExactGP:
         y: np.ndarray,
         iters: int = 500,
         learning_rate: float = 0.01,
+        init: "GPParams | None" = None,
     ) -> "ExactGP":
+        """``init`` warm-starts the hyperparameters (e.g. from a previous
+        round's fit in the closed BO loop) so a handful of Adam steps
+        suffices instead of a cold 200-500."""
         import optax
 
         x = jnp.asarray(x, dtype=jnp.float32)
@@ -110,7 +114,7 @@ class ExactGP:
         self._y_scale = float(y.std() + 1e-12)
         y_std = jnp.asarray((y - self._y_mean) / self._y_scale, dtype=jnp.float32)
 
-        params = init_params()
+        params = init if init is not None else init_params()
         opt = optax.adam(learning_rate)
         opt_state = opt.init(params)
         nmll = functools.partial(self._nmll, x=x, y=y_std)

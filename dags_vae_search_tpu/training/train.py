@@ -277,48 +277,48 @@ class Trainer:
         plateau = PlateauState(float("inf"), 0, config.learning_rate)
         history: List[Dict] = []
         time_start = time.time()
-        device_loop = config.steps_per_call > 1 and (
-            corpus.packed_bits is None or self.mesh is None
-        )
+        device_loop = config.steps_per_call > 1
 
         if device_loop:
-            # The whole corpus moves to HBM once.  Dense [R, n, n] float32 is
-            # ~1 GB at alarm scale, and through the remote-tunnel device the
-            # TRANSFER (not compilation, which measures ~39 s) dominates
-            # startup — so 0/1 adjacencies always travel as packed bits (32x
-            # smaller, int16 labels).  Mid-size corpora unpack once into a
-            # dense HBM corpus; already-packed large-n corpora (n > 64) STAY
-            # packed in HBM and the chunk step unpacks each gathered batch
-            # (link: 91 B/row packed vs 2 MB dense).  The mesh path (tests:
-            # local CPU devices, no tunnel) keeps the plain dense transfer.
+            # The whole corpus moves to HBM once.  Through the remote-tunnel
+            # device the TRANSFER (not compilation, which measures ~39 s)
+            # dominates startup, so 0/1 adjacencies always travel as packed
+            # bits (32x smaller than dense float32 — e.g. the 14k-row n=37
+            # alarm train split is 7 MB dense vs 0.9 MB packed+labels, and
+            # dense grows quadratically with n) with int16 labels.  Mid-size
+            # corpora then unpack ONCE into a dense HBM corpus (cheapest
+            # per-step gather); large-n corpora (n > 64, pre-packed by the
+            # loader) STAY packed in HBM and the chunk step unpacks each
+            # gathered batch (link: 91 B/row packed vs 2 MB dense).  Mesh
+            # runs replicate the packed corpus and also unpack per batch —
+            # the gather/unpack is SPMD-compatible, so multichip training
+            # uses the same chunked loop (r3 silently fell back to per-step
+            # dispatch for packed corpora under a mesh).
             t_put = time.time()
-            if self.mesh is not None:
-                corpus_labels, corpus_adj = (
-                    mesh_lib.replicate_tree(
-                        self.mesh, (jnp.asarray(corpus.labels), jnp.asarray(corpus.adj))
-                    )
-                )
-                sent_mb = (corpus.labels.nbytes + corpus.adj.nbytes) / 1e6
-            elif corpus.packed_bits is not None:
-                corpus_labels = jnp.asarray(corpus.labels.astype(np.int16))
-                corpus_adj = jnp.asarray(corpus.packed_bits)
-                sent_mb = (
-                    corpus.packed_bits.nbytes + corpus.labels.nbytes // 2
-                ) / 1e6
+            n = corpus.num_vertices
+            host_labels = corpus.labels.astype(np.int16)
+            if corpus.packed_bits is not None:
+                host_packed = corpus.packed_bits
             else:
-                n = corpus.num_vertices
-                packed = np.packbits(
+                host_packed = np.packbits(
                     (np.asarray(corpus.adj) > 0).astype(np.uint8), axis=-1
                 )  # uint8[R, n, ceil(n/8)] (MSB-first rows)
+            sent_mb = (host_packed.nbytes + host_labels.nbytes) / 1e6
+            if self.mesh is not None:
+                corpus_labels, corpus_adj = mesh_lib.replicate_tree(
+                    self.mesh,
+                    (jnp.asarray(host_labels), jnp.asarray(host_packed)),
+                )
+            elif corpus.packed_bits is None:
 
                 @jax.jit
                 def _unpack(p, lb):
                     return _dense_adj(p, n), lb.astype(jnp.int32)
 
-                corpus_adj, corpus_labels = _unpack(
-                    packed, corpus.labels.astype(np.int16)
-                )
-                sent_mb = (packed.nbytes + corpus.labels.nbytes // 2) / 1e6
+                corpus_adj, corpus_labels = _unpack(host_packed, host_labels)
+            else:
+                corpus_labels = jnp.asarray(host_labels)
+                corpus_adj = jnp.asarray(host_packed)
             jax.block_until_ready((corpus_labels, corpus_adj))
             log(
                 f"corpus -> device: {sent_mb:,.0f} MB sent "
@@ -334,6 +334,7 @@ class Trainer:
                     plateau = plateau._replace(lr=lr_now)
             last = None
             batches = 0
+            dispatches = 0
             epoch_t0 = time.time()
             timer = StepTimer(window=10_000)
             if device_loop:
@@ -345,10 +346,15 @@ class Trainer:
                     steps, b
                 )
                 k = min(config.steps_per_call, steps)
-                vals = None
-                for start in range(0, steps - (steps % k), k):
+                # Full epoch coverage: the tail (steps % k) runs as ONE
+                # shorter chunk — one extra compiled program per distinct
+                # tail size, instead of silently dropping up to k-1 batches
+                # per epoch (with k=100 and e.g. sachs' ~225 steps that
+                # drop was ~11% of every epoch).
+                for start in range(0, steps, k):
+                    kc = min(k, steps - start)
                     block = jnp.asarray(
-                        perm[start : start + k], dtype=jnp.int32
+                        perm[start : start + kc], dtype=jnp.int32
                     )
                     if self.mesh is not None:
                         block = jax.device_put(
@@ -359,7 +365,7 @@ class Trainer:
                         )
                     key, sub = jax.random.split(key)
                     t_chunk = time.time()
-                    with timer.step(items=k), annotate("train_chunk"):
+                    with timer.step(items=kc), annotate("train_chunk"):
                         state, stacked = self._chunk_step(
                             state, corpus_labels, corpus_adj, block, sub
                         )
@@ -369,11 +375,12 @@ class Trainer:
                             "first chunk (compile + run): "
                             f"{time.time() - t_chunk:.1f}s"
                         )
-                    batches += k
+                    batches += kc
+                    dispatches += 1
                     # log when a multiple of log_every was crossed this chunk
                     if config.log_every and (
                         batches // config.log_every
-                        != (batches - k) // config.log_every
+                        != (batches - kc) // config.log_every
                     ):
                         vals = np.asarray(stacked[-1])
                         log(
@@ -381,11 +388,6 @@ class Trainer:
                             f"loss {vals[0] / b:.5f} recon {vals[1] / b:.5f} "
                             f"kld {vals[2] / b:.5f}"
                         )
-                # Leftover (< k) steps are DROPPED (drop-last semantics, a
-                # fresh permutation each epoch so all data is seen across
-                # epochs): running them through the single-step path costs
-                # two extra compiled programs and per-step remote dispatches
-                # for < 4% of the data.
                 vals = np.asarray(stacked[-1])
                 last = {"loss": vals[0], "recon": vals[1], "kld": vals[2]}
             else:
@@ -433,8 +435,15 @@ class Trainer:
                 # measured per-optimizer-step time: synchronous (true) on the
                 # device-loop path, dispatch-side on the per-step path.
                 "step_ms": 1e3 * epoch_dt / max(batches, 1),
+                # per-step share of a dispatch: divide by the MEAN ACTUAL
+                # chunk length (config.steps_per_call overstates it when the
+                # epoch is shorter than one chunk — andes/link have ~4-6
+                # steps/epoch vs steps_per_call 25).
                 "dispatch_ms": 1e3 * timer.mean_step_seconds()
-                / max(config.steps_per_call if device_loop else 1, 1),
+                / max(
+                    batches / dispatches if device_loop and dispatches else 1.0,
+                    1e-9,
+                ),
                 "lr": plateau.lr,
             }
             history.append(entry)

@@ -240,3 +240,46 @@ def test_packed_corpus_roundtrip_and_training():
     # bit-packed in device memory and each gathered batch unpacks on device
     state, history = trainer.fit(state, train, log=lambda s: None)
     assert np.isfinite(history[-1]["loss_per_graph"])
+
+
+def test_device_loop_tail_chunk_covers_full_epoch():
+    """steps not divisible by steps_per_call: the tail runs as one shorter
+    chunk instead of being dropped (ADVICE r3)."""
+    corpus = tiny_corpus(7 * 8)  # 7 batches of 8
+    model = tiny_model()
+    trainer = Trainer(
+        model,
+        TrainConfig(batch_size=8, epochs=1, log_every=0, steps_per_call=4),
+    )
+    state = trainer.init_state(
+        jax.random.PRNGKey(0), corpus.labels[:2], corpus.adj[:2]
+    )
+    logs = []
+    state, history = trainer.fit(state, corpus, log=logs.append)
+    entry = history[-1]
+    # 7 steps = one chunk of 4 + one tail chunk of 3; graphs_per_second
+    # numerator counts all 7 * 8 graphs
+    assert abs(entry["graphs_per_second"] * entry["epoch_seconds"] - 56) < 1e-3
+    assert np.isfinite(entry["dispatch_ms"]) and entry["dispatch_ms"] > 0
+
+
+def test_mesh_packed_corpus_uses_device_loop():
+    """Packed corpora under a mesh route through the chunked loop (r3 fell
+    back to per-step dispatch silently)."""
+    rng = np.random.default_rng(3)
+    labels, adj = sampler.sample_er_batch(rng, 64, 5, 6, 5)
+    corpus = data_lib.pack_corpus(labels, adj)
+    mesh = mesh_lib.make_mesh()
+    model = tiny_model()
+    trainer = Trainer(
+        model,
+        TrainConfig(batch_size=16, epochs=2, log_every=0, steps_per_call=2),
+        mesh=mesh,
+    )
+    state = trainer.init_state(
+        jax.random.PRNGKey(0), corpus.labels[:2], corpus.dense_batch(np.arange(2))
+    )
+    logs = []
+    state, history = trainer.fit(state, corpus, log=logs.append)
+    assert any("corpus -> device" in s for s in logs)  # chunked path ran
+    assert np.isfinite(history[-1]["loss_per_graph"])
