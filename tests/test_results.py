@@ -72,3 +72,17 @@ def test_render_is_deterministic_and_json_safe():
     a = results.render(_reports())
     b = results.render(json.loads(json.dumps(_reports())))
     assert a == b
+
+
+def test_takeaways_only_render_from_live_reports():
+    """No hardcoded result claims: an experiment absent from the reports
+    must not be named in the takeaways (VERDICT r3 weak #2)."""
+    text = results.render(_reports())
+    takeaways = text.split("## Key takeaways")[1]
+    for name in ("sachs", "hepar2", "child", "0.16%"):
+        assert name not in takeaways
+    # andes/link gaps ARE backed by the fixture reports -> they render
+    assert "andes +0.08%" in takeaways
+    assert "link +4.70%" in takeaways
+    empty = results.render({})
+    assert "no live reports" in empty.split("## Key takeaways")[1]
