@@ -17,7 +17,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
+
+# Persistent XLA compile cache (the scanned train step + decode scan cost
+# minutes of remote compile cold; cached reloads are seconds).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache")
+)
 
 
 def main():
@@ -37,6 +44,10 @@ def main():
     ap.add_argument("--density", type=float, default=0.2)
     ap.add_argument("--steps-per-call", type=int, default=20)
     ap.add_argument("--log-every-epochs", type=int, default=25)
+    ap.add_argument("--holdout", type=int, default=0,
+                    help="hold out this many graphs from training and probe "
+                    "reconstruction on them too (generalization signal, not "
+                    "just memorization)")
     ap.add_argument("--no-acc", action="store_true",
                     help="skip decode-accuracy probes (saves the decode "
                     "scan compile; loss/kld trajectory is the signal)")
@@ -69,6 +80,13 @@ def main():
                                              max_in_degree=8))
     labels = np.concatenate([p[0] for p in parts])
     adj = np.concatenate([p[1] for p in parts])
+    held_labels = held_adj = None
+    if args.holdout:
+        # interleaved split so both sides span the edge-count curriculum
+        mask = np.zeros(len(labels), dtype=bool)
+        mask[:: max(len(labels) // args.holdout, 1)] = True
+        held_labels, held_adj = labels[mask], adj[mask]
+        labels, adj = labels[~mask], adj[~mask]
     corpus = data_lib.Corpus(labels=labels, adj=adj)
 
     model = PaceVAE(
@@ -98,10 +116,13 @@ def main():
         jax.random.PRNGKey(0), corpus.labels[:2], corpus.dense_batch(np.arange(2))
     )
 
-    def recon_acc(state, temperature):
-        k = min(128, len(corpus))
-        lb = jnp.asarray(corpus.labels[:k])
-        ad = jnp.asarray(corpus.dense_batch(np.arange(k)))
+    def recon_acc(state, temperature, labels_src=None, adj_src=None):
+        if labels_src is None:
+            labels_src = corpus.labels
+            adj_src = corpus.dense_batch(np.arange(len(corpus)))
+        k = min(128, len(labels_src))
+        lb = jnp.asarray(labels_src[:k])
+        ad = jnp.asarray(adj_src[:k])
         mu, _ = model.apply(
             {"params": state.params}, lb, ad, method=PaceVAE.encode
         )
@@ -130,6 +151,10 @@ def main():
         if not args.no_acc:
             row["acc@T1"] = round(recon_acc(st, 1.0), 3)
             row["acc@T0.1"] = round(recon_acc(st, 0.1), 3)
+            if held_labels is not None:
+                row["held@T0.1"] = round(
+                    recon_acc(st, 0.1, held_labels, held_adj), 3
+                )
         row["elapsed_s"] = round(time.time() - t0, 1)
         print(json.dumps(row), flush=True)
 
