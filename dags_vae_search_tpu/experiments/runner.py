@@ -819,6 +819,7 @@ def main(argv=None):
     parser.add_argument("--latent-size", type=int, default=None)
     parser.add_argument("--fc-hidden", type=int, default=None)
     parser.add_argument("--dropout", type=float, default=None)
+    parser.add_argument("--edge-readout", action="store_true", default=None)
     parser.add_argument("--lr", type=float, default=None)
     parser.add_argument("--lr-schedule", choices=["plateau", "cosine"], default=None)
     parser.add_argument("--warmup-epochs", type=int, default=None)
@@ -841,6 +842,7 @@ def main(argv=None):
         ("latent_size", args.latent_size),
         ("fc_hidden", args.fc_hidden),
         ("dropout", args.dropout),
+        ("edge_readout", args.edge_readout),
     ):
         if arg is not None:
             setattr(config.model, field_name, arg)

@@ -81,6 +81,14 @@ class PaceVAE(nn.Module):
     # (V1's per-graph loop and V2's per-graph meshgrid are vectorization
     # differences only), so one flag covers the whole family.
     loss_variant: str = "v3"
+    # Direct linear edge readout from z: adds fc(z) -> [n-1, n-1] as a
+    # per-pair bias on the edge logits (teacher-forced loss AND sampling
+    # decode).  An extension over the reference decoder (whose edge head
+    # sees only transformer hidden states): with latent_size >= #pairs it
+    # makes reconstruction linearly decodable — the round-4 n=37 probes
+    # show the transformer-only path learns edge marginals but cannot
+    # reach graph-specific reconstruction at catalog scale (PROBES.md).
+    edge_readout: bool = False
 
     @property
     def max_n(self) -> int:
@@ -115,6 +123,10 @@ class PaceVAE(nn.Module):
         self.add_node_out = Dense(self.cardinality, name="add_node_out")
         self.add_edge_hidden = Dense(d, name="add_edge_hidden")
         self.add_edge_out = Dense(1, name="add_edge_out")
+        if self.edge_readout:
+            self.edge_readout_fc = Dense(
+                (n - 1) * (n - 1), name="edge_readout_fc"
+            )
         self.drop = nn.Dropout(self.dropout)
 
     # ---------------------------------------------------------------- utils
@@ -228,7 +240,18 @@ class PaceVAE(nn.Module):
             ],
             axis=-1,
         )
-        edge_probs = jax.nn.sigmoid(self._add_edge(pair))[..., 0]  # [B, N]
+        edge_logits = self._add_edge(pair)[..., 0]  # [B, N]
+        if self.edge_readout:
+            n = labels.shape[-1]
+            bias = self.edge_readout_fc(z).reshape(-1, n - 1, n - 1)
+            # loss pair (i, j) = (slot idx - 1, parent slot p - 1): take row
+            # i = idx-1 and shift one slot right so position p reads [i, p-1]
+            row = jax.lax.dynamic_index_in_dim(
+                bias, idx - 1, axis=1, keepdims=False
+            )  # [B, n-1]
+            row = jnp.pad(row, ((0, 0), (0, 1)))
+            edge_logits = edge_logits + jnp.roll(row, 1, axis=-1)
+        edge_probs = jax.nn.sigmoid(edge_logits)
         return type_logits, edge_probs
 
     # ----------------------------------------------------------------- loss
@@ -265,6 +288,9 @@ class PaceVAE(nn.Module):
         pi, pj = np.tril_indices(n - 1, k=-1)
         pair = jnp.concatenate([out[:, pi, :], out[:, pj, :]], axis=-1)
         logits = self._add_edge(pair)[..., 0]  # [B, P]
+        if self.edge_readout:
+            bias = self.edge_readout_fc(z).reshape(b, n - 1, n - 1)
+            logits = logits + bias[:, pi, pj]
         edge_targets = adj[:, pj + 1, pi + 1]
         if self.loss_variant == "v1":
             # V1 numerics: BCE on the sigmoid output with torch's

@@ -19,6 +19,9 @@ class ModelConfig:
     latent_size: int = 32
     fc_hidden: int = 32
     dropout: float = 0.15
+    # direct linear z -> edge-logit readout (models/pace_vae.py); the n>=37
+    # reconstruction recipe (PROBES.md)
+    edge_readout: bool = False
 
 
 @dataclass
@@ -88,4 +91,5 @@ class ExperimentConfig:
             latent_size=self.model.latent_size,
             fc_hidden=self.model.fc_hidden,
             dropout=self.model.dropout,
+            edge_readout=self.model.edge_readout,
         )

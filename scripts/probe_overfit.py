@@ -39,6 +39,7 @@ def main():
     ap.add_argument("--latent", type=int, default=128)
     ap.add_argument("--fc-hidden", type=int, default=64)
     ap.add_argument("--dropout", type=float, default=0.15)
+    ap.add_argument("--edge-readout", action="store_true")
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--density", type=float, default=0.2)
@@ -98,6 +99,7 @@ def main():
         latent_size=args.latent,
         fc_hidden=args.fc_hidden,
         dropout=args.dropout,
+        edge_readout=args.edge_readout,
     )
     cfg = TrainConfig(
         batch_size=min(args.batch, len(corpus)),

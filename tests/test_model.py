@@ -287,3 +287,60 @@ def test_loss_variant_v1_matches_v3_in_well_conditioned_regime():
     t3 = m3.apply(variables, lb, ad, True, method=PaceVAE.loss)
     t1 = m1.apply(variables, lb, ad, True, method=PaceVAE.loss)
     np.testing.assert_allclose(float(t1[0]), float(t3[0]), rtol=1e-5)
+
+
+def test_edge_readout_decode_matches_loss_pair_indexing():
+    """With the transformer edge head zeroed and the readout bias set from a
+    target PACE adjacency, mode decode must reproduce exactly that graph —
+    proving the decode-side (slot idx, parent p) bias mapping equals the
+    loss-side (i, j) = (idx-1, p-1) pair indexing."""
+    n = 5
+    rng = np.random.default_rng(4)
+    labels = np.arange(n, dtype=np.int32)[None]  # identity labels
+    _, adj = sampler.sample_er_batch(rng, 1, n, 6, n)
+    model = PaceVAE(
+        num_real_vertices=n,
+        real_label_cardinality=n,
+        embed_size=8,
+        num_heads=2,
+        num_layers=1,
+        latent_size=8,
+        fc_hidden=8,
+        dropout=0.0,
+        edge_readout=True,
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(labels), jnp.asarray(adj))
+    wrapped = pace_wrap(jnp.asarray(labels), jnp.asarray(adj))
+    W = np.asarray(wrapped.adj)[0]  # [n+3, n+3]
+    N = n + 3
+    bias_mat = np.full((N - 1, N - 1), -10.0, np.float32)
+    pi, pj = np.tril_indices(N - 1, k=-1)
+    bias_mat[pi, pj] = np.where(W[pj + 1, pi + 1] > 0, 10.0, -10.0)
+
+    params = jax.tree.map(lambda x: x, variables["params"])  # shallow copy
+    params = jax.device_get(params)
+    params["add_edge_out"]["kernel"] = np.zeros_like(
+        params["add_edge_out"]["kernel"]
+    )
+    params["add_edge_out"]["bias"] = np.zeros_like(
+        params["add_edge_out"]["bias"]
+    )
+    params["edge_readout_fc"]["kernel"] = np.zeros_like(
+        params["edge_readout_fc"]["kernel"]
+    )
+    params["edge_readout_fc"]["bias"] = bias_mat.reshape(-1)
+    # uniform node logits: constrained argmax decode emits labels in order
+    params["add_node_out"]["kernel"] = np.zeros_like(
+        params["add_node_out"]["kernel"]
+    )
+    params["add_node_out"]["bias"] = np.zeros_like(
+        params["add_node_out"]["bias"]
+    )
+
+    z = jnp.zeros((1, model.latent_size))
+    recon, valid = decode_to_labeled(
+        model, {"params": params}, z, jax.random.PRNGKey(1), temperature=1e-4
+    )
+    assert bool(valid[0])
+    assert np.array_equal(np.asarray(recon.labels)[0], labels[0])
+    assert np.array_equal(np.asarray(recon.adj)[0], adj[0])
