@@ -106,52 +106,69 @@ def build_registry() -> Dict[str, ExperimentConfig]:
         search=SearchConfig(max_parents=8),
     )
 
-    # medium nets (BASELINE.json config 3) — density cap 0.2.  The r1
-    # recipe (embed 32/layers 3/lr 1e-4/60 epochs) plateaued at loss ~79
-    # per graph with zero reconstruction; the doubled model + 3e-4 cosine
-    # reaches loss ~4 within 30 epochs (runs/child@big probe).  At n >= ~30
-    # even 3e-4 is too slow (alarm r2: edge head stuck at chance, loss
-    # 226/graph after 120 epochs) — the r3 memorization probes show lr 1e-3
-    # cuts the same-budget loss 4.4x (probe B vs A, scripts/probe_overfit),
-    # so the n >= 30 tier trains at 1e-3 with a longer cosine.
+    # medium/large nets (BASELINE.json configs 3-4).  Recipe history: the
+    # r1 recipe (embed 32/layers 3/lr 1e-4) plateaued with zero
+    # reconstruction; r2/r3 fixed the lr (1e-3 cosine) but stalled at
+    # edge-head MARGINALS for every n >= 20 (alarm r3: loss 225/graph,
+    # structure acc 0.000).  The round-4 probes (PROBES.md) show the
+    # transformer-only decoder memorizes tiny corpora yet cannot reach
+    # graph-specific reconstruction at corpus scale — while the direct
+    # linear z->edge-logit readout (``ModelConfig.edge_readout``) with
+    # latent_size scaled to the pair count turns reconstruction into a
+    # linearly-decodable problem: train exact-match 1.0 within 100 epochs
+    # on the n=37 probe, held-out accuracy climbing.  These tiers train
+    # with the readout, pair-scaled latents, and lr 1e-3 cosine.
+    def _readout_latent(n: int, cap: int = 1792) -> int:
+        pairs = n * (n - 1) // 2
+        import math
+
+        return int(min(cap, max(256, 128 * math.ceil(1.2 * pairs / 128))))
+
     for name in ("child", "insurance"):
+        n = CATALOG[name].num_vertices
         registry[name] = _catalog_experiment(
             name,
             corpus_batch=64,
             steps=20,
-            train=TrainConfig(batch_size=128, epochs=120, learning_rate=3e-4,
-                              lr_schedule="cosine", warmup_epochs=3,
-                              steps_per_call=50),
-            model=ModelConfig(embed_size=64, num_layers=4, latent_size=128,
-                              fc_hidden=64),
+            train=TrainConfig(batch_size=128, epochs=120, learning_rate=1e-3,
+                              lr_schedule="cosine", warmup_epochs=5,
+                              steps_per_call=50, checkpoint_every=5),
+            model=ModelConfig(embed_size=64, num_layers=4,
+                              latent_size=_readout_latent(n),
+                              fc_hidden=64, dropout=0.1, edge_readout=True),
         )
     for name in ("alarm", "water", "mildew", "barley"):
+        n = CATALOG[name].num_vertices
         registry[name] = _catalog_experiment(
             name,
             corpus_batch=64,
             steps=20,
-            train=TrainConfig(batch_size=128, epochs=150, learning_rate=1e-3,
+            train=TrainConfig(batch_size=128, epochs=120, learning_rate=1e-3,
                               lr_schedule="cosine", warmup_epochs=5,
-                              steps_per_call=50),
-            model=ModelConfig(embed_size=64, num_layers=4, latent_size=128,
-                              fc_hidden=64),
+                              steps_per_call=50, checkpoint_every=5),
+            model=ModelConfig(embed_size=64, num_layers=4,
+                              latent_size=_readout_latent(n),
+                              fc_hidden=64, dropout=0.1, edge_readout=True),
         )
 
-    # large nets (config 4) — density cap 0.1; scaled recipe at the fast lr
-    # (r2's 3e-4 left the edge head at chance: hepar2 loss 871/graph).
+    # large nets (config 4) — density cap 0.1; pair counts (2415-2850)
+    # exceed the latent cap, so the readout is a rank-limited (but still
+    # decisive) reconstruction channel there.
     for name in ("hepar2", "win95pts", "hailfinder"):
+        n = CATALOG[name].num_vertices
         registry[name] = _catalog_experiment(
             name,
             corpus_batch=32,
             steps=16,
-            # steps_per_call: these corpora are bit-packed (n > 64) and now
-            # run the chunked device loop with on-device unpack — per-step
+            # steps_per_call: these corpora are bit-packed (n > 64) and run
+            # the chunked device loop with on-device unpack — per-step
             # dispatch through the remote tunnel costs ~1 s/step otherwise.
-            train=TrainConfig(batch_size=128, epochs=120, learning_rate=1e-3,
+            train=TrainConfig(batch_size=128, epochs=100, learning_rate=1e-3,
                               lr_schedule="cosine", warmup_epochs=5,
-                              steps_per_call=50),
-            model=ModelConfig(embed_size=64, num_layers=4, latent_size=128,
-                              fc_hidden=64),
+                              steps_per_call=50, checkpoint_every=5),
+            model=ModelConfig(embed_size=64, num_layers=4,
+                              latent_size=_readout_latent(n),
+                              fc_hidden=64, dropout=0.1, edge_readout=True),
         )
 
     # very large nets (config 5) — density cap 0.05; blocked closures,
