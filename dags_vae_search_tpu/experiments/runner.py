@@ -276,12 +276,17 @@ class ExperimentRunner:
         self,
         epoch: Optional[int] = None,
         max_batches: Optional[int] = 20,
-        use_isomorphism: bool = True,
+        use_isomorphism: Optional[bool] = None,
     ) -> None:
         import jax
 
         from dags_vae_search_tpu.training import eval as eval_lib
 
+        if use_isomorphism is None:
+            # networkx VF2 on 200+-node digraphs can take minutes per graph;
+            # exact slot-wise equality is the operative criterion anyway
+            # (decoded graphs come back in the encoding's vertex order).
+            use_isomorphism = self.config.num_vertices <= 128
         trainer, state, epoch = self.load_state(epoch)
         corpus = self._load_corpus("test")
         metrics = eval_lib.evaluate_corpus(
@@ -830,6 +835,8 @@ def main(argv=None):
                         help="hill-climb wall-clock budget in seconds")
     parser.add_argument("--hc-iters", type=int, default=None,
                         help="hill-climb max accepted-move count")
+    parser.add_argument("--eval-batches", type=int, default=None,
+                        help="cap the eval stage at this many test batches")
     args = parser.parse_args(argv)
 
     config = REGISTRY[args.experiment]
@@ -862,7 +869,12 @@ def main(argv=None):
     for stage in args.stages:
         if stage == "train":
             runner.stage_train(epochs=args.epochs, resume=args.resume)
-        elif stage in ("eval", "predictor", "search", "roundtrip", "viz"):
+        elif stage == "eval":
+            kwargs = {"epoch": args.epoch}
+            if args.eval_batches is not None:
+                kwargs["max_batches"] = args.eval_batches
+            runner.stage_eval(**kwargs)
+        elif stage in ("predictor", "search", "roundtrip", "viz"):
             getattr(runner, f"stage_{stage}")(epoch=args.epoch)
         else:
             getattr(runner, f"stage_{stage}")()

@@ -20,8 +20,8 @@ refresh() {
 
 run alarm generate split train eval predictor gp search roundtrip; refresh alarm
 run hepar2 generate split train eval predictor gp search roundtrip; refresh hepar2
-run andes generate split train eval search; refresh andes
-run link generate split train eval search; refresh link
+run andes generate split train eval search --eval-batches 2; refresh andes
+run link generate split train eval search --eval-batches 1; refresh link
 run hailfinder generate split train eval predictor gp search roundtrip; refresh hailfinder
 run win95pts generate split train eval predictor gp search roundtrip; refresh win95pts
 echo "=== part 2 done"
