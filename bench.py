@@ -250,6 +250,7 @@ def main():
     train_asia = bench_train(n=8, batch=256, steps=30)
     train_hepar2 = bench_train(n=70, batch=64, steps=10)
     train_link = bench_train(n=724, batch=8, steps=3)
+    chunk_asia_b32 = bench_train_chunked(n=8, batch=32, k=100, repeats=4)
     chunk_asia = bench_train_chunked(n=8, batch=256, k=50, repeats=4)
     chunk_asia_b2k = bench_train_chunked(n=8, batch=2048, k=25, repeats=3)
     chunk_hepar2 = bench_train_chunked(n=70, batch=128, k=25, repeats=3)
@@ -285,6 +286,10 @@ def main():
                 ),
                 "train_mfu_link": round(train_link["mfu_est"], 4),
                 # device-resident chunked loop (the production path)
+                "chunked_step_ms_asia_b32": round(chunk_asia_b32["step_ms"], 2),
+                "chunked_graphs_per_sec_asia_b32": round(
+                    chunk_asia_b32["graphs_per_sec"], 1
+                ),
                 "chunked_step_ms_asia_b256": round(chunk_asia["step_ms"], 2),
                 "chunked_mfu_asia_b256": round(chunk_asia["mfu_est"], 4),
                 "chunked_graphs_per_sec_asia_b256": round(
