@@ -18,6 +18,7 @@ refresh() {
   git add RESULTS.md && git commit -q -m "RESULTS: refresh after $1" -- RESULTS.md || true
 }
 
+run asia eval; refresh asia-eval
 run alarm generate split train eval predictor gp search roundtrip; refresh alarm
 run hepar2 generate split train eval predictor gp search roundtrip; refresh hepar2
 run andes generate split train eval search --eval-batches 2; refresh andes
