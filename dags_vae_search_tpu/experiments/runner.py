@@ -252,6 +252,13 @@ class ExperimentRunner:
                 params = ckpt.restore_params(ckpt_dir, latest, state.params)
                 state = state._replace(params=params)
                 start_epoch = latest + 1
+        else:
+            # Fresh run: clear stale checkpoints — a previous run's higher
+            # epoch numbers (possibly under a different ModelConfig) would
+            # otherwise shadow this run's checkpoints at load_state time.
+            import shutil
+
+            shutil.rmtree(ckpt_dir, ignore_errors=True)
 
         def save(epoch, st):
             ckpt.save_checkpoint(ckpt_dir, epoch, {"params": st.params})
