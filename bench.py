@@ -99,15 +99,17 @@ def bench_family_table(batch: int = 65536, iters: int = 5) -> float:
     return batch * iters / (time.time() - t0)
 
 
-def _train_model(n: int):
+def _train_model(n: int, matmul_dtype=None):
     from dags_vae_search_tpu.models.pace_vae import PaceVAE, make_asia_model
 
-    if n == 8:
+    if n == 8 and matmul_dtype is None:
         return make_asia_model()
+    kwargs = {} if n == 8 else dict(latent_size=64 if n <= 128 else 128)
     return PaceVAE(
         num_real_vertices=n,
         real_label_cardinality=n,
-        latent_size=64 if n <= 128 else 128,
+        matmul_dtype=matmul_dtype,
+        **kwargs,
     )
 
 
@@ -147,7 +149,7 @@ def bench_train(n: int = 8, batch: int = 256, steps: int = 30) -> dict:
 
 
 def bench_train_chunked(
-    n: int, batch: int, k: int = 25, repeats: int = 3
+    n: int, batch: int, k: int = 25, repeats: int = 3, matmul_dtype=None
 ) -> dict:
     """Device-resident chunked-loop timing: K optimizer steps per dispatch
     over an HBM corpus (the path production recipes actually run,
@@ -162,7 +164,7 @@ def bench_train_chunked(
     rng = np.random.default_rng(0)
     rows = max(2 * batch, 512)
     labels, adj = _sample_dags(rng, rows, n, 2 * n)
-    model = _train_model(n)
+    model = _train_model(n, matmul_dtype)
     trainer = Trainer(
         model, TrainConfig(batch_size=batch, steps_per_call=k, log_every=0)
     )
@@ -255,6 +257,16 @@ def main():
     chunk_asia_b2k = bench_train_chunked(n=8, batch=2048, k=25, repeats=3)
     chunk_hepar2 = bench_train_chunked(n=70, batch=128, k=25, repeats=3)
     chunk_link = bench_train_chunked(n=724, batch=16, k=10, repeats=2)
+    # bf16 matmul operands (f32 accumulation) — the MFU lever (VERDICT r4 #4)
+    chunk_asia_bf16 = bench_train_chunked(
+        n=8, batch=2048, k=25, repeats=3, matmul_dtype="bfloat16"
+    )
+    chunk_hepar2_bf16 = bench_train_chunked(
+        n=70, batch=128, k=25, repeats=3, matmul_dtype="bfloat16"
+    )
+    chunk_link_bf16 = bench_train_chunked(
+        n=724, batch=16, k=10, repeats=2, matmul_dtype="bfloat16"
+    )
     baseline_bic = 10.0  # ~1 R subprocess / 100 ms per candidate
     baseline_train = 171.5  # 5.36 it/s * batch 32 (reference comment trace)
     print(
@@ -308,6 +320,24 @@ def main():
                 "chunked_mfu_hepar2_b128": round(chunk_hepar2["mfu_est"], 4),
                 "chunked_step_ms_link_b16": round(chunk_link["step_ms"], 2),
                 "chunked_mfu_link_b16": round(chunk_link["mfu_est"], 4),
+                "chunked_step_ms_asia_b2048_bf16": round(
+                    chunk_asia_bf16["step_ms"], 2
+                ),
+                "chunked_mfu_asia_b2048_bf16": round(
+                    chunk_asia_bf16["mfu_est"], 4
+                ),
+                "chunked_step_ms_hepar2_b128_bf16": round(
+                    chunk_hepar2_bf16["step_ms"], 2
+                ),
+                "chunked_mfu_hepar2_b128_bf16": round(
+                    chunk_hepar2_bf16["mfu_est"], 4
+                ),
+                "chunked_step_ms_link_b16_bf16": round(
+                    chunk_link_bf16["step_ms"], 2
+                ),
+                "chunked_mfu_link_b16_bf16": round(
+                    chunk_link_bf16["mfu_est"], 4
+                ),
             }
         )
     )

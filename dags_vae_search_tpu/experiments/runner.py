@@ -466,6 +466,7 @@ class ExperimentRunner:
             np.random.default_rng(self.config.seed + 11),
             restarts=max(cfg.hill_climb_restarts, 0),
             max_parents=cfg.max_parents,
+            tie_stop=cfg.hill_climb_tie_stop,
         )
         hc_seconds = time.time() - t0
         result_payload["hill_climb"] = {
@@ -535,7 +536,35 @@ class ExperimentRunner:
                 ]
             )
             elite_pick = np.argsort(-seed_scores)[: cfg.islands]
-            init_means = mus[jnp_.asarray(elite_pick)]
+            # PCA subspace for the cold CEM (VERDICT r4 weak #2): search
+            # the top-k principal coordinates of the corpus latents — the
+            # decoder's data manifold — instead of the full ~900-dim z.
+            mus_np = np.asarray(mus)
+            k_sub = (
+                int(min(cfg.island_subspace, mus_np.shape[1], len(mus_np) - 1))
+                if cfg.island_subspace
+                else 0
+            )
+            if k_sub > 0:
+                z_center = mus_np.mean(axis=0)
+                _, _, vt = np.linalg.svd(
+                    mus_np - z_center, full_matrices=False
+                )
+                z_basis = vt[:k_sub]
+                coords = (mus_np - z_center) @ z_basis.T
+                sigma_vec = coords.std(axis=0) + 1e-6
+                init_means = jnp_.asarray(coords[elite_pick])
+                cem_space = dict(
+                    basis=jnp_.asarray(z_basis),
+                    center=jnp_.asarray(z_center),
+                    init_sigma=jnp_.asarray(sigma_vec),
+                    sigma_floor=jnp_.asarray(sigma_vec * 0.05),
+                )
+            else:
+                init_means = mus[jnp_.asarray(elite_pick)]
+                cem_space = dict(
+                    init_sigma=init_sigma, sigma_floor=init_sigma * 0.05
+                )
             hc_labels, hc_adj = latent_mod.column_adj_to_labeled(
                 hc.best_adj, np.random.default_rng(self.config.seed + 7)
             )
@@ -556,14 +585,14 @@ class ExperimentRunner:
                 population=cfg.island_population,
                 iters=cfg.island_iters,
                 init_means=init_means,
-                init_sigma=init_sigma,
-                sigma_floor=init_sigma * 0.05,
+                **cem_space,
             )
             latent_payload = {
                 "best_bic": res.best_score,
                 "evals": res.num_evals,
                 "seconds": time.time() - t0,
                 "epoch": epoch,
+                "subspace": k_sub,
                 "cold": True,  # seeded from corpus elites only, never from
                 # the discrete search's winner
             }
@@ -715,6 +744,87 @@ class ExperimentRunner:
                         )[0]
                     )
                 result_payload["bo"] = bo_payload
+
+                # Sample-efficiency shoot-out (VERDICT r4 weak #6): bo vs
+                # gp_ascent vs cold island CEM at the SAME small budget of
+                # real decode+score evals, seeded identically with the top
+                # predictor-corpus latents (no hill-climb anchor — the
+                # point is what each strategy finds per eval, not whether
+                # the seeds already sit in the basin).
+                if cfg.budget_compare_evals and n_vars <= 48:
+                    budget = int(cfg.budget_compare_evals)
+                    s_n = max(budget // 4, 8)
+                    cold_seed = jnp_.asarray(vectors[order[:s_n]])
+                    comp = {"budget_evals": budget}
+
+                    def _exact(res_):
+                        if not np.isfinite(res_.best_score):
+                            return None
+                        return float(
+                            scorer.score_exact(
+                                self._to_columns(
+                                    res_.best_labels, res_.best_adj
+                                )[None]
+                            )[0]
+                        )
+
+                    t0 = time.time()
+                    r_asc = latent_mod.gp_ascent_search(
+                        self.model, {"params": state.params}, fast_scorer,
+                        gp, jax.random.PRNGKey(self.config.seed + 8),
+                        cold_seed, steps=100, ucb_beta=0.5,
+                        decode_rounds=budget // s_n - 1,
+                    )
+                    comp["gp_ascent"] = {
+                        "best_bic_exact": _exact(r_asc),
+                        "evals": r_asc.num_evals,
+                        "seconds": time.time() - t0,
+                    }
+                    t0 = time.time()
+                    r_bo = latent_mod.bo_search(
+                        self.model, {"params": state.params}, fast_scorer,
+                        jax.random.PRNGKey(self.config.seed + 9), cold_seed,
+                        extra_obs=(vectors[:3000], targets[:3000]),
+                        rounds=budget // s_n - 1, ucb_beta=1.0,
+                        gp_iters=min(self.config.search.gp_iters, 200),
+                    )
+                    comp["bo"] = {
+                        "best_bic_exact": _exact(r_bo),
+                        "evals": r_bo.num_evals,
+                        "seconds": time.time() - t0,
+                    }
+                    n_isl = min(4, cfg.islands)
+                    pop = max(s_n // n_isl, 8)
+                    it_cem = max((budget - s_n) // (n_isl * pop), 1)
+                    if k_sub > 0:
+                        comp_means = jnp_.asarray(coords[elite_pick[:n_isl]])
+                    else:
+                        comp_means = mus[jnp_.asarray(elite_pick[:n_isl])]
+                    t0 = time.time()
+                    r_cem = islands.island_cem_search(
+                        self.model, {"params": state.params}, fast_scorer,
+                        jax.random.PRNGKey(self.config.seed + 10),
+                        num_islands=n_isl, population=pop, iters=it_cem,
+                        init_means=comp_means,
+                        exploit_repeats=max(
+                            (budget - n_isl * pop * it_cem) // n_isl, 0
+                        ),
+                        **cem_space,
+                    )
+                    comp["island_cem"] = {
+                        "best_bic_exact": _exact(r_cem),
+                        "evals": r_cem.num_evals,
+                        "seconds": time.time() - t0,
+                    }
+                    finite = {
+                        k: v["best_bic_exact"]
+                        for k, v in comp.items()
+                        if isinstance(v, dict)
+                        and v.get("best_bic_exact") is not None
+                    }
+                    if finite:
+                        comp["winner"] = max(finite, key=finite.get)
+                    result_payload["budget_comparison"] = comp
         except FileNotFoundError:
             result_payload["island_cem"] = "skipped (no checkpoint)"
         except Exception as exc:  # noqa: BLE001 — keep the structure-space
@@ -848,6 +958,9 @@ def main(argv=None):
     parser.add_argument("--fc-hidden", type=int, default=None)
     parser.add_argument("--dropout", type=float, default=None)
     parser.add_argument("--edge-readout", action="store_true", default=None)
+    parser.add_argument("--edge-readout-rank", type=int, default=None)
+    parser.add_argument("--matmul-dtype", default=None,
+                        help="e.g. bfloat16 (MXU-native operands)")
     parser.add_argument("--lr", type=float, default=None)
     parser.add_argument("--lr-schedule", choices=["plateau", "cosine"], default=None)
     parser.add_argument("--warmup-epochs", type=int, default=None)
@@ -873,6 +986,8 @@ def main(argv=None):
         ("fc_hidden", args.fc_hidden),
         ("dropout", args.dropout),
         ("edge_readout", args.edge_readout),
+        ("edge_readout_rank", args.edge_readout_rank),
+        ("matmul_dtype", args.matmul_dtype),
     ):
         if arg is not None:
             setattr(config.model, field_name, arg)

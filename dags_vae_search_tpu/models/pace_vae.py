@@ -89,6 +89,18 @@ class PaceVAE(nn.Module):
     # show the transformer-only path learns edge marginals but cannot
     # reach graph-specific reconstruction at catalog scale (PROBES.md).
     edge_readout: bool = False
+    # > 0 factorizes the readout: z -> U [n-1, r], V [n-1, r], bias =
+    # U V^T / sqrt(r).  The monolithic fc(z) head is a LINEAR map whose
+    # image spans at most latent_size pair-dimensions — at hepar2 (2,415
+    # pairs vs the 1,792 latent cap) it is rank-starved and reconstruction
+    # collapses (VERDICT r4 weak #1).  The bilinear form is quadratic in z,
+    # so its reachable bias set is not rank-bounded by latent_size, and its
+    # parameter/compute cost is O(n r) instead of O(n^2) — the n >= 70
+    # regime's readout.
+    edge_readout_rank: int = 0
+    # operand dtype for every matmul ("bfloat16" = MXU-native; accumulation
+    # and params stay float32) — the train-MFU lever (VERDICT r4 weak #3)
+    matmul_dtype: Optional[str] = None
 
     @property
     def max_n(self) -> int:
@@ -113,20 +125,34 @@ class PaceVAE(nn.Module):
             "pos_w2", xavier_gain_1414, (2 * self.embed_size, self.embed_size),
             jnp.float32,
         )
-        self.label_embed = Dense(self.embed_size, name="label_embed")
-        self.encoder = Encoder(self.num_layers, self.num_heads, self.dropout)
-        self.fc1 = Dense(self.latent_size, name="fc1")
-        self.fc2 = Dense(self.latent_size, name="fc2")
-        self.fc3 = Dense(n * d, name="fc3")
-        self.decoder = Decoder(self.num_layers, self.num_heads, self.dropout)
-        self.add_node_hidden = Dense(self.fc_hidden, name="add_node_hidden")
-        self.add_node_out = Dense(self.cardinality, name="add_node_out")
-        self.add_edge_hidden = Dense(d, name="add_edge_hidden")
-        self.add_edge_out = Dense(1, name="add_edge_out")
+        md = self.matmul_dtype
+        self.label_embed = Dense(self.embed_size, name="label_embed",
+                                 matmul_dtype=md)
+        self.encoder = Encoder(self.num_layers, self.num_heads, self.dropout,
+                               matmul_dtype=md)
+        self.fc1 = Dense(self.latent_size, name="fc1", matmul_dtype=md)
+        self.fc2 = Dense(self.latent_size, name="fc2", matmul_dtype=md)
+        self.fc3 = Dense(n * d, name="fc3", matmul_dtype=md)
+        self.decoder = Decoder(self.num_layers, self.num_heads, self.dropout,
+                               matmul_dtype=md)
+        self.add_node_hidden = Dense(self.fc_hidden, name="add_node_hidden",
+                                     matmul_dtype=md)
+        self.add_node_out = Dense(self.cardinality, name="add_node_out",
+                                  matmul_dtype=md)
+        self.add_edge_hidden = Dense(d, name="add_edge_hidden",
+                                     matmul_dtype=md)
+        self.add_edge_out = Dense(1, name="add_edge_out", matmul_dtype=md)
         if self.edge_readout:
-            self.edge_readout_fc = Dense(
-                (n - 1) * (n - 1), name="edge_readout_fc"
-            )
+            if self.edge_readout_rank > 0:
+                r = self.edge_readout_rank
+                self.edge_readout_u = Dense((n - 1) * r, name="edge_readout_u",
+                                            matmul_dtype=md)
+                self.edge_readout_v = Dense((n - 1) * r, name="edge_readout_v",
+                                            matmul_dtype=md)
+            else:
+                self.edge_readout_fc = Dense(
+                    (n - 1) * (n - 1), name="edge_readout_fc", matmul_dtype=md
+                )
         self.drop = nn.Dropout(self.dropout)
 
     # ---------------------------------------------------------------- utils
@@ -136,9 +162,15 @@ class PaceVAE(nn.Module):
         b, n, _ = adj.shape
         eye = jnp.broadcast_to(jnp.eye(n, dtype=adj.dtype), (b, n, n))
         x = jnp.concatenate([eye, jnp.swapaxes(adj, -1, -2)], axis=-1)
-        h = nn.relu(jnp.dot(x, self.pos_w1, preferred_element_type=jnp.float32))
+        w1, w2 = self.pos_w1, self.pos_w2
+        if self.matmul_dtype is not None:
+            md = jnp.dtype(self.matmul_dtype)
+            x, w1, w2 = x.astype(md), w1.astype(md), w2.astype(md)
+        h = nn.relu(jnp.dot(x, w1, preferred_element_type=jnp.float32))
         h = self.drop(h, deterministic=deterministic)
-        h = jnp.dot(h, self.pos_w2, preferred_element_type=jnp.float32)
+        if self.matmul_dtype is not None:
+            h = h.astype(jnp.dtype(self.matmul_dtype))
+        h = jnp.dot(h, w2, preferred_element_type=jnp.float32)
         return self.drop(h, deterministic=deterministic)
 
     def _vertex_features(
@@ -155,6 +187,33 @@ class PaceVAE(nn.Module):
 
     def _add_edge(self, h: jnp.ndarray) -> jnp.ndarray:
         return self.add_edge_out(nn.relu(self.add_edge_hidden(h)))
+
+    def _edge_bias(self, z: jnp.ndarray, n: int) -> jnp.ndarray:
+        """z -> per-pair edge-logit bias [B, n-1, n-1] (loss-pair indexing:
+        row i = child slot, column j = parent slot)."""
+        if self.edge_readout_rank > 0:
+            r = self.edge_readout_rank
+            u = self.edge_readout_u(z).reshape(-1, n - 1, r)
+            v = self.edge_readout_v(z).reshape(-1, n - 1, r)
+            return jnp.einsum(
+                "bir,bjr->bij", u, v, preferred_element_type=jnp.float32
+            ) / (r**0.5)
+        return self.edge_readout_fc(z).reshape(-1, n - 1, n - 1)
+
+    def _edge_bias_row(self, z: jnp.ndarray, n: int, i: jnp.ndarray) -> jnp.ndarray:
+        """Row ``i`` of :meth:`_edge_bias` without materializing the full
+        [B, n-1, n-1] bias — the decode scan needs one child row per step
+        (at link n=724 the full bias is ~0.5 M floats per graph per step)."""
+        if self.edge_readout_rank > 0:
+            r = self.edge_readout_rank
+            u = self.edge_readout_u(z).reshape(-1, n - 1, r)
+            u_row = jax.lax.dynamic_index_in_dim(u, i, axis=1, keepdims=False)
+            v = self.edge_readout_v(z).reshape(-1, n - 1, r)
+            return jnp.einsum(
+                "br,bjr->bj", u_row, v, preferred_element_type=jnp.float32
+            ) / (r**0.5)
+        bias = self.edge_readout_fc(z).reshape(-1, n - 1, n - 1)
+        return jax.lax.dynamic_index_in_dim(bias, i, axis=1, keepdims=False)
 
     # ------------------------------------------------------------- encoding
 
@@ -243,12 +302,9 @@ class PaceVAE(nn.Module):
         edge_logits = self._add_edge(pair)[..., 0]  # [B, N]
         if self.edge_readout:
             n = labels.shape[-1]
-            bias = self.edge_readout_fc(z).reshape(-1, n - 1, n - 1)
             # loss pair (i, j) = (slot idx - 1, parent slot p - 1): take row
             # i = idx-1 and shift one slot right so position p reads [i, p-1]
-            row = jax.lax.dynamic_index_in_dim(
-                bias, idx - 1, axis=1, keepdims=False
-            )  # [B, n-1]
+            row = self._edge_bias_row(z, n, idx - 1)  # [B, n-1]
             row = jnp.pad(row, ((0, 0), (0, 1)))
             edge_logits = edge_logits + jnp.roll(row, 1, axis=-1)
         edge_probs = jax.nn.sigmoid(edge_logits)
@@ -289,8 +345,7 @@ class PaceVAE(nn.Module):
         pair = jnp.concatenate([out[:, pi, :], out[:, pj, :]], axis=-1)
         logits = self._add_edge(pair)[..., 0]  # [B, P]
         if self.edge_readout:
-            bias = self.edge_readout_fc(z).reshape(b, n - 1, n - 1)
-            logits = logits + bias[:, pi, pj]
+            logits = logits + self._edge_bias(z, n)[:, pi, pj]
         edge_targets = adj[:, pj + 1, pi + 1]
         if self.loss_variant == "v1":
             # V1 numerics: BCE on the sigmoid output with torch's

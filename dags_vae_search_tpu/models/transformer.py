@@ -42,10 +42,16 @@ def torch_bias_init(key, shape, dtype=jnp.float32, fan_in: int = 1):
 
 
 class Dense(nn.Module):
-    """Linear layer with torch-style default init."""
+    """Linear layer with torch-style default init.
+
+    ``matmul_dtype`` (e.g. ``"bfloat16"``) casts the matmul OPERANDS only;
+    accumulation and outputs stay float32 (``preferred_element_type``) —
+    the TPU MXU's native mode.  Params are always stored float32.
+    """
 
     features: int
     use_bias: bool = True
+    matmul_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -53,6 +59,10 @@ class Dense(nn.Module):
         kernel = self.param(
             "kernel", torch_linear_init, (fan_in, self.features), jnp.float32
         )
+        if self.matmul_dtype is not None:
+            md = jnp.dtype(self.matmul_dtype)
+            x = x.astype(md)
+            kernel = kernel.astype(md)
         y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
         if self.use_bias:
             bias = self.param(
@@ -74,6 +84,7 @@ class MultiHeadAttention(nn.Module):
 
     num_heads: int
     dropout: float
+    matmul_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -90,9 +101,10 @@ class MultiHeadAttention(nn.Module):
         d_head = d_model // self.num_heads
 
         # torch packs q/k/v projections in one xavier-initialized matrix.
-        q = Dense(d_model, name="q_proj")(query)
-        k = Dense(d_model, name="k_proj")(key)
-        v = Dense(d_model, name="v_proj")(value)
+        md = self.matmul_dtype
+        q = Dense(d_model, name="q_proj", matmul_dtype=md)(query)
+        k = Dense(d_model, name="k_proj", matmul_dtype=md)(key)
+        v = Dense(d_model, name="v_proj", matmul_dtype=md)(value)
 
         def split(x):
             b, n, _ = x.shape
@@ -100,6 +112,8 @@ class MultiHeadAttention(nn.Module):
 
         q, k, v = split(q), split(k), split(v)  # [B, H, N, d_head]
 
+        if md is not None:
+            q, k = q.astype(jnp.dtype(md)), k.astype(jnp.dtype(md))
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         ) / (d_head**0.5)
@@ -110,12 +124,15 @@ class MultiHeadAttention(nn.Module):
         weights = nn.softmax(logits, axis=-1)
         weights = nn.Dropout(self.dropout, deterministic=deterministic)(weights)
 
+        if md is not None:
+            weights = weights.astype(jnp.dtype(md))
+            v = v.astype(jnp.dtype(md))
         out = jnp.einsum(
             "bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32
         )
         b, h, n, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, d_model)
-        return Dense(d_model, name="out_proj")(out)
+        return Dense(d_model, name="out_proj", matmul_dtype=md)(out)
 
 
 class EncoderLayer(nn.Module):
@@ -123,19 +140,21 @@ class EncoderLayer(nn.Module):
 
     num_heads: int
     dropout: float
+    matmul_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, src, allowed=None, deterministic=True):
         d_model = src.shape[-1]
+        md = self.matmul_dtype
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
 
-        attn = MultiHeadAttention(self.num_heads, self.dropout, name="self_attn")(
-            src, src, src, allowed=allowed, deterministic=deterministic
-        )
+        attn = MultiHeadAttention(
+            self.num_heads, self.dropout, matmul_dtype=md, name="self_attn"
+        )(src, src, src, allowed=allowed, deterministic=deterministic)
         src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + drop(attn))
 
-        ff = Dense(d_model, name="linear2")(
-            drop(nn.relu(Dense(d_model, name="linear1")(src)))
+        ff = Dense(d_model, name="linear2", matmul_dtype=md)(
+            drop(nn.relu(Dense(d_model, name="linear1", matmul_dtype=md)(src)))
         )
         return nn.LayerNorm(epsilon=1e-5, name="norm2")(src + drop(ff))
 
@@ -147,24 +166,26 @@ class DecoderLayer(nn.Module):
 
     num_heads: int
     dropout: float
+    matmul_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, tgt, memory, allowed=None, deterministic=True):
         d_model = tgt.shape[-1]
+        md = self.matmul_dtype
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
 
-        sa = MultiHeadAttention(self.num_heads, self.dropout, name="self_attn")(
-            tgt, tgt, tgt, allowed=allowed, deterministic=deterministic
-        )
+        sa = MultiHeadAttention(
+            self.num_heads, self.dropout, matmul_dtype=md, name="self_attn"
+        )(tgt, tgt, tgt, allowed=allowed, deterministic=deterministic)
         tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt + drop(sa))
 
-        ca = MultiHeadAttention(self.num_heads, self.dropout, name="cross_attn")(
-            tgt, memory, memory, allowed=allowed, deterministic=deterministic
-        )
+        ca = MultiHeadAttention(
+            self.num_heads, self.dropout, matmul_dtype=md, name="cross_attn"
+        )(tgt, memory, memory, allowed=allowed, deterministic=deterministic)
         tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt + drop(ca))
 
-        ff = Dense(d_model, name="linear2")(
-            drop(nn.relu(Dense(d_model, name="linear1")(tgt)))
+        ff = Dense(d_model, name="linear2", matmul_dtype=md)(
+            drop(nn.relu(Dense(d_model, name="linear1", matmul_dtype=md)(tgt)))
         )
         return nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt + drop(ff))
 
@@ -173,13 +194,15 @@ class Encoder(nn.Module):
     num_layers: int
     num_heads: int
     dropout: float
+    matmul_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, src, allowed=None, deterministic=True):
         for i in range(self.num_layers):
-            src = EncoderLayer(self.num_heads, self.dropout, name=f"layer{i}")(
-                src, allowed=allowed, deterministic=deterministic
-            )
+            src = EncoderLayer(
+                self.num_heads, self.dropout, matmul_dtype=self.matmul_dtype,
+                name=f"layer{i}",
+            )(src, allowed=allowed, deterministic=deterministic)
         return src
 
 
@@ -187,11 +210,13 @@ class Decoder(nn.Module):
     num_layers: int
     num_heads: int
     dropout: float
+    matmul_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, tgt, memory, allowed=None, deterministic=True):
         for i in range(self.num_layers):
-            tgt = DecoderLayer(self.num_heads, self.dropout, name=f"layer{i}")(
-                tgt, memory, allowed=allowed, deterministic=deterministic
-            )
+            tgt = DecoderLayer(
+                self.num_heads, self.dropout, matmul_dtype=self.matmul_dtype,
+                name=f"layer{i}",
+            )(tgt, memory, allowed=allowed, deterministic=deterministic)
         return tgt

@@ -139,6 +139,8 @@ def climb_with_restarts(
     restarts: int = 0,
     max_parents: Optional[int] = None,
     first: Optional[HillClimbResult] = None,
+    tie_stop: int = 2,
+    tie_tol: float = 1e-6,
 ) -> HillClimbResult:
     """Basin hopping: greedy climb + ``restarts`` perturb-and-reclimb kicks.
 
@@ -148,6 +150,11 @@ def climb_with_restarts(
     ships the same device (``restart``/``perturb`` args of ``hc``) — the
     reference never exposes it.  Returns the incumbent with evals/iterations
     summed across all climbs and per-restart bests in ``history``.
+
+    ``tie_stop``: stop kicking after this many CONSECUTIVE restarts that
+    fail to improve the incumbent (alarm r4: 8 restarts, 8 identical
+    results, ~1,400 s spent re-finding the same optimum — VERDICT r4 weak
+    #5).  0 disables early stopping.
     """
     from dags_vae_search_tpu.graphs import sampler as g_sampler
 
@@ -156,6 +163,7 @@ def climb_with_restarts(
     evals = best.num_evals
     iters = best.iterations
     history = [best.best_score]
+    ties = 0
     for r in range(restarts):
         if r % 2 == 0:
             # kick: perturb the incumbent (stay near the good basin)
@@ -177,9 +185,14 @@ def climb_with_restarts(
         res = climb(init)
         evals += res.num_evals
         iters += res.iterations
-        if res.best_score > best.best_score:
+        if res.best_score > best.best_score + tie_tol:
             best = res
+            ties = 0
+        else:
+            ties += 1
         history.append(best.best_score)
+        if tie_stop and ties >= tie_stop:
+            break
     return best._replace(num_evals=evals, iterations=iters, history=history)
 
 

@@ -48,6 +48,8 @@ def island_cem_search(
     init_means: Optional[jnp.ndarray] = None,
     temperature_range: tuple = (1.0, 0.25),
     exploit_repeats: int = 32,
+    basis: Optional[jnp.ndarray] = None,
+    center: Optional[jnp.ndarray] = None,
 ) -> SearchResult:
     """Multi-island CEM with periodic best-latent migration.
 
@@ -59,19 +61,40 @@ def island_cem_search(
     times at low temperature — the sampling decoder is stochastic, so the
     best structure reachable from a good latent is usually found by
     repeated sharp decodes rather than by one lucky population draw.
+
+    ``basis`` ([k, nz], orthonormal rows) + ``center`` ([nz]) restrict the
+    search to an affine subspace of the latent space: the CEM mean/sigma
+    live in k-dim coordinates and candidates decode at ``center + c @
+    basis``.  Diagonal CEM cannot estimate a useful sampling distribution
+    in ~900-dim latent spaces from ~50 elites per iteration (the r4 cold
+    gap, VERDICT weak #2); the corpus latents' top principal components are
+    where the decoder's data manifold actually lives, so a ~64-dim PCA
+    subspace makes the cold search well-posed.  ``init_means``,
+    ``init_sigma`` and ``sigma_floor`` are then in coordinate space
+    (per-dimension vectors allowed).
     """
     nz = model.latent_size
+    dim = int(basis.shape[0]) if basis is not None else nz
     n_elite = max(1, int(population * elite_frac))
 
+    def to_full(coords: jnp.ndarray) -> jnp.ndarray:
+        if basis is None:
+            return coords
+        return center + jnp.dot(
+            coords, basis, preferred_element_type=jnp.float32
+        )
+
     mean0 = (
-        jnp.zeros((num_islands, nz)) if init_means is None else init_means
+        jnp.zeros((num_islands, dim)) if init_means is None else init_means
     )
     n_real = model.num_real_vertices
     state = IslandState(
         mean=mean0,
-        sigma=jnp.full((num_islands, nz), init_sigma),
+        sigma=jnp.broadcast_to(
+            jnp.asarray(init_sigma, jnp.float32), (num_islands, dim)
+        ),
         best_score=jnp.full((num_islands,), -jnp.inf),
-        best_z=jnp.zeros((num_islands, nz)),
+        best_z=jnp.zeros((num_islands, dim)),  # coord space when basis given
         best_labels=jnp.zeros((num_islands, n_real), jnp.int32),
         best_adj=jnp.zeros((num_islands, n_real, n_real)),
     )
@@ -81,11 +104,11 @@ def island_cem_search(
 
     def iteration(state: IslandState, key, temp, migrate: bool):
         k_z, k_d = jax.random.split(key)
-        noise = jax.random.normal(k_z, (num_islands, population, nz))
+        noise = jax.random.normal(k_z, (num_islands, population, dim))
         z = state.mean[:, None, :] + state.sigma[:, None, :] * noise
-        flat_z = z.reshape(num_islands * population, nz)
+        flat_z = z.reshape(num_islands * population, dim)
         scores, labels, adj = decode_and_score(
-            model, variables, scorer, flat_z, k_d, temperature=temp
+            model, variables, scorer, to_full(flat_z), k_d, temperature=temp
         )
         scores = scores.reshape(num_islands, population)
         labels = labels.reshape(num_islands, population, -1)
@@ -126,7 +149,11 @@ def island_cem_search(
             g_z = best_z[g_idx]
             w_idx = jnp.argmin(best_score)
             mean = mean.at[w_idx].set(g_z)
-            sigma = sigma.at[w_idx].set(init_sigma * 0.5)
+            sigma = sigma.at[w_idx].set(
+                jnp.broadcast_to(
+                    jnp.asarray(init_sigma, jnp.float32) * 0.5, (dim,)
+                )
+            )
 
         return IslandState(mean, sigma, best_score, best_z, best_labels, best_adj)
 
@@ -150,7 +177,7 @@ def island_cem_search(
         rep_z = jnp.repeat(state.best_z, exploit_repeats, axis=0)
         key, k_d = jax.random.split(key)
         scores, labels, adj = decode_and_score(
-            model, variables, scorer, rep_z, k_d,
+            model, variables, scorer, to_full(rep_z), k_d,
             temperature=jnp.asarray(min(t_lo, 0.1), jnp.float32),
         )
         evals += rep_z.shape[0]
@@ -184,7 +211,7 @@ def island_cem_search(
         best_score=float(state.best_score[g_idx]),
         best_labels=np.asarray(state.best_labels[g_idx]),
         best_adj=np.asarray(state.best_adj[g_idx]),
-        best_z=np.asarray(state.best_z[g_idx]),
+        best_z=np.asarray(to_full(state.best_z[g_idx])),
         num_evals=evals,
         history=history,
     )

@@ -22,6 +22,11 @@ class ModelConfig:
     # direct linear z -> edge-logit readout (models/pace_vae.py); the n>=37
     # reconstruction recipe (PROBES.md)
     edge_readout: bool = False
+    # > 0: factorized bilinear readout z -> U V^T of this rank — the n>=70
+    # recipe (the monolithic head is rank-starved past ~1.8k pairs)
+    edge_readout_rank: int = 0
+    # matmul operand dtype ("bfloat16" = MXU-native, f32 accumulation)
+    matmul_dtype: Optional[str] = None
 
 
 @dataclass
@@ -58,6 +63,15 @@ class SearchConfig:
     # delta climber: accept up to this many distinct-child moves per
     # frontier scan (one batched refresh dispatch instead of one per move)
     hill_climb_accept_batch: int = 1
+    # stop basin hopping after this many consecutive non-improving kicks
+    # (alarm r4: 8 kicks, 8 identical optima — VERDICT r4 weak #5)
+    hill_climb_tie_stop: int = 2
+    # cold island CEM searches the top-k PCA subspace of the corpus latents
+    # (0 = full latent space; diagonal CEM is ill-posed at ~900 dims)
+    island_subspace: int = 64
+    # fixed real-eval budget for the bo/gp_ascent/island_cem
+    # sample-efficiency comparison (0 disables; VERDICT r4 weak #6)
+    budget_compare_evals: int = 512
     gp_train_points: int = 4000
     gp_iters: int = 500
     gp_ascent_seeds: int = 256
@@ -92,4 +106,6 @@ class ExperimentConfig:
             fc_hidden=self.model.fc_hidden,
             dropout=self.model.dropout,
             edge_readout=self.model.edge_readout,
+            edge_readout_rank=self.model.edge_readout_rank,
+            matmul_dtype=self.model.matmul_dtype,
         )

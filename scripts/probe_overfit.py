@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--fc-hidden", type=int, default=64)
     ap.add_argument("--dropout", type=float, default=0.15)
     ap.add_argument("--edge-readout", action="store_true")
+    ap.add_argument("--edge-readout-rank", type=int, default=0)
+    ap.add_argument("--matmul-dtype", default=None)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--density", type=float, default=0.2)
@@ -100,6 +102,8 @@ def main():
         fc_hidden=args.fc_hidden,
         dropout=args.dropout,
         edge_readout=args.edge_readout,
+        edge_readout_rank=args.edge_readout_rank,
+        matmul_dtype=args.matmul_dtype,
     )
     cfg = TrainConfig(
         batch_size=min(args.batch, len(corpus)),

@@ -31,6 +31,7 @@ def test_param_count_parity_asia():
     assert count == 284_556
 
 
+@pytest.mark.slow
 def test_param_count_parity_families():
     # Reference src/train_model.py:60-62: 12+3 -> 402,384; 20+3 -> 502,744;
     # 100+3 -> 1,506,344 (ninp=32, nhid=64, nlayers=3, nz=64).
@@ -61,6 +62,7 @@ def test_encode_shapes():
     assert mu.shape == (4, 32) and logvar.shape == (4, 32)
 
 
+@pytest.mark.slow
 def test_loss_edge_targets_are_real_edges():
     # With add_edge forced to strong logits via crafted params it's hard to
     # assert targets directly; instead check the loss is sensitive to edges:
@@ -75,6 +77,7 @@ def test_loss_edge_targets_are_real_edges():
     assert float(recon_a) != pytest.approx(float(recon_b))
 
 
+@pytest.mark.slow
 def test_deterministic_loss_reproducible():
     model = make_asia_model()
     variables, labels, adj = _init(model, batch=3)
@@ -83,6 +86,7 @@ def test_deterministic_loss_reproducible():
     assert float(a[0]) == float(b[0])
 
 
+@pytest.mark.slow
 def test_stochastic_loss_uses_rngs():
     model = make_asia_model()
     variables, labels, adj = _init(model, batch=3)
@@ -99,6 +103,7 @@ def test_stochastic_loss_uses_rngs():
     assert loss(0) != pytest.approx(loss(1))
 
 
+@pytest.mark.slow
 def test_decode_structure():
     model = make_asia_model()
     variables, labels, adj = _init(model, batch=8)
@@ -124,6 +129,7 @@ def test_decode_roundtrip_types():
     assert valid.shape == (4,)
 
 
+@pytest.mark.slow
 def test_training_reduces_loss():
     # A few Adam steps on a fixed small batch must reduce the loss — the
     # end-to-end learning smoke test (grad flow through masks, embeddings,
@@ -163,6 +169,7 @@ def test_training_reduces_loss():
     assert float(total) < 0.75 * first
 
 
+@pytest.mark.slow
 def test_constrained_decode_always_valid_at_n20():
     # VERDICT r1 #2: unconstrained decode at n >= 20 virtually never emits a
     # label permutation, so latent search scored -inf everywhere.  The
@@ -190,6 +197,7 @@ def test_constrained_decode_always_valid_at_n20():
     assert np.asarray(valid_u).mean() < 0.5
 
 
+@pytest.mark.slow
 def test_constrained_decode_unlabeled_cardinality_one():
     # Unlabeled corpora (synthetic_12 style): no used-label masking (the one
     # real label repeats), but virtual/output masking still forces a
@@ -209,6 +217,7 @@ def test_constrained_decode_unlabeled_cardinality_one():
     assert np.all(np.asarray(recon.labels) == 0)
 
 
+@pytest.mark.slow
 def test_low_temperature_decode_is_deterministic():
     # temperature -> 0 approaches the mode decode: two different sampling
     # keys must produce identical structures (logit ties are measure-zero).
@@ -239,6 +248,7 @@ def test_low_temperature_decode_is_deterministic():
     assert np.asarray(r3.labels).shape == np.asarray(r1.labels).shape
 
 
+@pytest.mark.slow
 def test_decode_max_in_degree_cap_at_large_n():
     # VERDICT r2 #2: the search scorer marks in-degree > max_parents as -inf
     # (scoring/bic.py), so decode must cap sampled in-degree or latent search
@@ -269,6 +279,7 @@ def test_decode_max_in_degree_cap_at_large_n():
     assert np.asarray(recon_u.adj).sum(axis=1).max() > cap
 
 
+@pytest.mark.slow
 def test_loss_variant_v1_matches_v3_in_well_conditioned_regime():
     # V1 (BCE on sigmoid probs, torch clamp at -100) equals V3
     # (BCE-with-logits) wherever the sigmoid doesn't saturate; at init the
@@ -289,6 +300,7 @@ def test_loss_variant_v1_matches_v3_in_well_conditioned_regime():
     np.testing.assert_allclose(float(t1[0]), float(t3[0]), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_edge_readout_decode_matches_loss_pair_indexing():
     """With the transformer edge head zeroed and the readout bias set from a
     target PACE adjacency, mode decode must reproduce exactly that graph —
@@ -344,3 +356,90 @@ def test_edge_readout_decode_matches_loss_pair_indexing():
     assert bool(valid[0])
     assert np.array_equal(np.asarray(recon.labels)[0], labels[0])
     assert np.array_equal(np.asarray(recon.adj)[0], adj[0])
+
+
+def test_factorized_edge_readout_row_matches_full_bias():
+    """The decode scan reads the z->edge-logit bias one child row at a time
+    (``_edge_bias_row``); it must agree with the full bilinear bias the loss
+    gathers pairs from (``_edge_bias``) — same (i, j) indexing, same 1/sqrt(r)
+    scale."""
+    n = 7
+    model = PaceVAE(
+        num_real_vertices=n,
+        real_label_cardinality=n,
+        embed_size=8,
+        num_heads=2,
+        num_layers=1,
+        latent_size=16,
+        fc_hidden=8,
+        dropout=0.0,
+        edge_readout=True,
+        edge_readout_rank=4,
+    )
+    variables, lb, ad = _init(model)
+    z = jax.random.normal(jax.random.PRNGKey(3), (2, model.latent_size))
+    N = model.max_n
+    full = model.apply(
+        variables, z, N, method=lambda m, z_, n_: m._edge_bias(z_, n_)
+    )
+    assert full.shape == (2, N - 1, N - 1)
+    for i in (0, 3, N - 2):
+        row = model.apply(
+            variables,
+            z,
+            N,
+            jnp.asarray(i),
+            method=lambda m, z_, n_, i_: m._edge_bias_row(z_, n_, i_),
+        )
+        np.testing.assert_allclose(
+            np.asarray(row), np.asarray(full[:, i, :]), rtol=1e-5, atol=1e-6
+        )
+
+
+@pytest.mark.slow
+def test_factorized_edge_readout_loss_and_decode_run():
+    """Loss is finite and trains, sampling decode stays valid with the
+    rank-factorized readout head."""
+    n = 6
+    model = PaceVAE(
+        num_real_vertices=n,
+        real_label_cardinality=n,
+        embed_size=8,
+        num_heads=2,
+        num_layers=1,
+        latent_size=16,
+        fc_hidden=8,
+        dropout=0.0,
+        edge_readout=True,
+        edge_readout_rank=4,
+    )
+    variables, lb, ad = _init(model, batch=4)
+    total, recon, kld = model.apply(variables, lb, ad, True, method=PaceVAE.loss)
+    assert np.isfinite(float(total))
+    # grads flow through both factors
+    def loss_fn(params):
+        t, _, _ = model.apply({"params": params}, lb, ad, True, method=PaceVAE.loss)
+        return t
+    grads = jax.grad(loss_fn)(variables["params"])
+    assert float(jnp.abs(grads["edge_readout_u"]["kernel"]).sum()) > 0
+    assert float(jnp.abs(grads["edge_readout_v"]["kernel"]).sum()) > 0
+    z = jax.random.normal(jax.random.PRNGKey(5), (4, model.latent_size))
+    recon_g, valid = decode_to_labeled(
+        model, variables, z, jax.random.PRNGKey(6)
+    )
+    assert bool(jnp.all(valid))
+
+
+def test_matmul_dtype_bfloat16_close_to_f32():
+    """bf16 matmul operands (f32 accumulation/params) change the loss only
+    at bf16 rounding level — the training-dynamics contract for the MFU
+    recipe."""
+    model32 = PaceVAE(num_real_vertices=8, real_label_cardinality=8)
+    model16 = PaceVAE(
+        num_real_vertices=8, real_label_cardinality=8, matmul_dtype="bfloat16"
+    )
+    variables, lb, ad = _init(model32, batch=4)
+    t32 = model32.apply(variables, lb, ad, True, method=PaceVAE.loss)
+    t16 = model16.apply(variables, lb, ad, True, method=PaceVAE.loss)
+    # same parameter tree (dtype is not part of the params)
+    assert abs(float(t16[0]) - float(t32[0])) / abs(float(t32[0])) < 0.05
