@@ -84,6 +84,18 @@ def build_registry() -> Dict[str, ExperimentConfig]:
                           steps_per_call=100),
     )
 
+    # the reference ladder's trivial bottom (README.md:21-25): cancer /
+    # earthquake / survey, n <= 6 — simulated ground truth (no shipped
+    # target.csv), instantly DP-certifiable.
+    for name in ("cancer", "earthquake", "survey"):
+        registry[name] = _catalog_experiment(
+            name,
+            corpus_batch=400,
+            steps=16,
+            train=TrainConfig(batch_size=32, epochs=60, learning_rate=1e-4,
+                              steps_per_call=100),
+        )
+
     # sachs (data/bn_sachs: 400x20, density 0.4).
     registry["sachs"] = _catalog_experiment(
         "sachs",

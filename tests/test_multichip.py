@@ -1,6 +1,7 @@
 """Multi-chip sharding tests on the 8-device virtual CPU mesh."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -12,6 +13,7 @@ from dags_vae_search_tpu.scoring.bic import BicScorer
 from dags_vae_search_tpu.search import islands
 
 
+@pytest.mark.slow
 def test_island_search_sharded_over_mesh():
     assert len(jax.devices()) == 8
     mesh = mesh_lib.make_mesh()
@@ -35,6 +37,7 @@ def test_island_search_sharded_over_mesh():
     assert len(res.history) == 4
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
 

@@ -42,6 +42,7 @@ def test_split_deterministic():
     assert len(test_a) == 10 and len(train_a) == 40
 
 
+@pytest.mark.slow
 def test_trainer_reduces_loss_and_history():
     corpus = tiny_corpus(64)
     model = tiny_model()
@@ -128,6 +129,7 @@ def test_eval_isomorphism_path_agrees_on_perfect():
     assert m["structure_accuracy"] <= m["valid_ratio"] + 1e-9
 
 
+@pytest.mark.slow
 def test_data_parallel_training_on_cpu_mesh():
     assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
     mesh = mesh_lib.make_mesh()
@@ -143,6 +145,7 @@ def test_data_parallel_training_on_cpu_mesh():
     assert np.isfinite(history[-1]["loss_per_graph"])
 
 
+@pytest.mark.slow
 def test_fit_resilient_recovers_from_crash(tmp_path):
     corpus = tiny_corpus(32)
     model = tiny_model()
@@ -191,6 +194,7 @@ def test_fit_resilient_gives_up(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_device_loop_packed_transfer_matches_per_step():
     """The chunked device loop ships the corpus as packed bits and unpacks
     on device; it must train to the same kind of result as the per-step
@@ -221,6 +225,7 @@ def test_device_loop_packed_transfer_matches_per_step():
     assert abs(chunked - per_step) / abs(per_step) < 0.05
 
 
+@pytest.mark.slow
 def test_packed_corpus_roundtrip_and_training():
     rng = np.random.default_rng(7)
     labels, adj = sampler.sample_er_batch(rng, 32, 5, 6, 5)
@@ -242,6 +247,7 @@ def test_packed_corpus_roundtrip_and_training():
     assert np.isfinite(history[-1]["loss_per_graph"])
 
 
+@pytest.mark.slow
 def test_device_loop_tail_chunk_covers_full_epoch():
     """steps not divisible by steps_per_call: the tail runs as one shorter
     chunk instead of being dropped (ADVICE r3)."""
@@ -263,6 +269,7 @@ def test_device_loop_tail_chunk_covers_full_epoch():
     assert np.isfinite(entry["dispatch_ms"]) and entry["dispatch_ms"] > 0
 
 
+@pytest.mark.slow
 def test_mesh_packed_corpus_uses_device_loop():
     """Packed corpora under a mesh route through the chunked loop (r3 fell
     back to per-step dispatch silently)."""
