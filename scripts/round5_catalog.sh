@@ -38,8 +38,10 @@ rung() {
     pathfinder|andes|diabetes|pigs)
       run "$1" generate split train eval search --eval-batches 2 ;;
     link)
-      # corpus + 20 trained epochs already live under runs/link (r4)
-      run link eval search --eval-batches 2 ;;
+      # corpus regenerated+split this round (host-side, CPU) after the
+      # runs/ wipe; train from scratch — the tier's model config changed
+      # (factorized edge readout)
+      run link train eval search --eval-batches 2 ;;
     *)
       echo "unknown rung $1"; return ;;
   esac
