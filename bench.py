@@ -185,6 +185,18 @@ def bench_train_chunked(
         state, corpus_labels, corpus_adj, idx, key
     )
     jax.block_until_ready(stacked)
+    # XLA's own flop count for the compiled chunk (PROFILE.md): the naive
+    # 6*P*tokens*B estimate below over-counts ~16x because the dominant
+    # fc1/fc2/fc3 params fire once per graph, not per token.
+    try:
+        ca = trainer._chunk_step.lower(
+            state, corpus_labels, corpus_adj, idx, key
+        ).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        xla_flops_step = float(ca.get("flops", 0.0)) / k
+    except Exception:  # noqa: BLE001 — cost model is best-effort
+        xla_flops_step = 0.0
     t0 = time.time()
     for r in range(repeats):
         state, stacked = trainer._chunk_step(
@@ -197,6 +209,7 @@ def bench_train_chunked(
     return {
         "graphs_per_sec": batch * repeats * k / dt,
         "step_ms": 1e3 * step_s,
+        "mfu_xla": xla_flops_step / step_s / V5E_PEAK_FLOPS,
         "mfu_est": flops_per_step / step_s / V5E_PEAK_FLOPS,
     }
 
@@ -304,6 +317,7 @@ def main():
                 ),
                 "chunked_step_ms_asia_b256": round(chunk_asia["step_ms"], 2),
                 "chunked_mfu_asia_b256": round(chunk_asia["mfu_est"], 4),
+                "chunked_mfu_xla_asia_b256": round(chunk_asia["mfu_xla"], 4),
                 "chunked_graphs_per_sec_asia_b256": round(
                     chunk_asia["graphs_per_sec"], 1
                 ),
@@ -311,6 +325,7 @@ def main():
                     chunk_asia_b2k["step_ms"], 2
                 ),
                 "chunked_mfu_asia_b2048": round(chunk_asia_b2k["mfu_est"], 4),
+                "chunked_mfu_xla_asia_b2048": round(chunk_asia_b2k["mfu_xla"], 4),
                 "chunked_graphs_per_sec_asia_b2048": round(
                     chunk_asia_b2k["graphs_per_sec"], 1
                 ),
@@ -318,8 +333,10 @@ def main():
                     chunk_hepar2["step_ms"], 2
                 ),
                 "chunked_mfu_hepar2_b128": round(chunk_hepar2["mfu_est"], 4),
+                "chunked_mfu_xla_hepar2_b128": round(chunk_hepar2["mfu_xla"], 4),
                 "chunked_step_ms_link_b16": round(chunk_link["step_ms"], 2),
                 "chunked_mfu_link_b16": round(chunk_link["mfu_est"], 4),
+                "chunked_mfu_xla_link_b16": round(chunk_link["mfu_xla"], 4),
                 "chunked_step_ms_asia_b2048_bf16": round(
                     chunk_asia_bf16["step_ms"], 2
                 ),
