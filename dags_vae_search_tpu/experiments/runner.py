@@ -729,6 +729,7 @@ class ExperimentRunner:
                     rounds=cfg.bo_rounds,
                     ucb_beta=1.0,
                     gp_iters=min(self.config.search.gp_iters, 200),
+                    acq_pool=4096,
                 )
                 bo_payload = {
                     "best_bic": bo.best_score,
@@ -787,6 +788,7 @@ class ExperimentRunner:
                         extra_obs=(vectors[:3000], targets[:3000]),
                         rounds=budget // s_n - 1, ucb_beta=1.0,
                         gp_iters=min(self.config.search.gp_iters, 200),
+                        acq_pool=4096,
                     )
                     comp["bo"] = {
                         "best_bic_exact": _exact(r_bo),

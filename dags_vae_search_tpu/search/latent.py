@@ -355,6 +355,8 @@ def bo_search(
     gp_iters: int = 200,
     gp_refit_iters: int = 50,
     max_gp_points: int = 1536,
+    acq_pool: int = 0,
+    pool_sigma: float = 1.0,
 ) -> SearchResult:
     """Closed-loop batched Bayesian optimization over the latent space.
 
@@ -369,7 +371,16 @@ def bo_search(
          incumbent without going blind elsewhere);
       2. ascend the UCB acquisition mean + beta*std from the current
          top-scoring latents (plus Gaussian-jittered copies — the batched
-         stand-in for acquisition multi-start);
+         stand-in for acquisition multi-start); with ``acq_pool`` > 0 the
+         multi-start itself is chosen by POOLED acquisition optimization:
+         draw a broad candidate pool (local jitter around the incumbents
+         plus ``pool_sigma``-scaled jitter around random observed latents —
+         the corpus encodings in ``extra_obs`` give the pool global
+         coverage), rank the whole pool with one batched GP-UCB predict
+         (surrogate calls are ~free next to real decode+score evals), and
+         spend the round's real evals only on the top-ranked candidates.
+         Plain ascent can never leave the seeds' basin — exactly why bo
+         tied gp_ascent on every net in the r4/r5-early budget shoot-outs;
       3. decode + really score the ascended batch (-inf for infeasible);
       4. append the finite observations and refit next round.
 
@@ -442,6 +453,34 @@ def bo_search(
             z0 = jnp.asarray(
                 np.concatenate([starts, jitter]), dtype=jnp.float32
             )
+            if acq_pool and acq_pool > batch:
+                # Pooled acquisition optimization: half the pool explores
+                # locally (explore_sigma around the incumbents), half
+                # globally (pool_sigma around random observed latents),
+                # then one batched UCB predict picks the real-eval batch.
+                key, k_l, k_g, k_p = jax.random.split(key, 4)
+                n_loc = acq_pool // 2
+                loc = starts[
+                    np.arange(n_loc) % len(starts)
+                ] + explore_sigma * np.asarray(
+                    jax.random.normal(k_l, (n_loc, nz))
+                )
+                anchors = zf[
+                    np.asarray(
+                        jax.random.randint(
+                            k_p, (acq_pool - n_loc,), 0, len(zf)
+                        )
+                    )
+                ]
+                glb = anchors + pool_sigma * np.asarray(
+                    jax.random.normal(k_g, (acq_pool - n_loc, nz))
+                )
+                pool = np.concatenate(
+                    [np.asarray(z0), loc, glb], dtype=np.float32
+                )
+                mu, sd = gp.predict_with_std(pool)
+                ucb = mu + ucb_beta * sd
+                z0 = jnp.asarray(pool[np.argsort(-ucb)[:batch]])
             z_next = _ascend_acquisition(
                 gp, z0, ascent_steps, learning_rate, ucb_beta, trust_radius
             )
