@@ -39,9 +39,12 @@ rung() {
     pathfinder|andes|diabetes|pigs)
       run "$1" generate split train eval search --eval-batches 2 ;;
     link)
-      # corpus regenerated host-side this session (runs/link); first train
-      # of the n>=109 tier WITH the factorized edge readout
-      run link train eval search --eval-batches 2 ;;
+      # runs/ was wiped again — regenerate the corpus, then the full
+      # n>=109-tier slice with the factorized edge readout.  The hill
+      # climb wall is capped at 700s so the whole rung fits a session
+      # (the tier default 1800s would outrun it; the climber converges
+      # anytime, so the cap only truncates, never breaks, the row).
+      run link generate split train eval search --eval-batches 2 --hc-time 700 ;;
     *)
       echo "unknown rung $1"; return ;;
   esac
